@@ -1,0 +1,16 @@
+"""supervillain_tpu — TPU-native lattice Monte Carlo for the Villain model.
+
+A brand-new JAX/XLA/Pallas framework with the capability surface of
+``evanberkowitz/supervillain``: the Villain (φ, n) and dual Worldline (m, v)
+formulations of the compact boson on D-dimensional periodic lattices with the Z_W
+vortex-constraint generalization, sampled by checkerboard-vectorized Metropolis sweeps
+and worm algorithms, measured by a registry of observables and derived quantities, and
+analyzed with autocorrelation / blocking / weighted-bootstrap machinery with HDF5
+persistence.  Chains vmap/shard across TPU meshes.
+"""
+
+from . import meta
+from .ops import Lattice, Lattice2D
+from .ops import d, delta, face_sum, coface_sum, laplacian, star, wedge, push, pull
+
+from . import utils
