@@ -14,3 +14,17 @@ from .ops import Lattice, Lattice2D
 from .ops import d, delta, face_sum, coface_sum, laplacian, star, wedge, push, pull
 
 from . import utils
+from . import models
+from .models import Villain, Worldline
+from . import generators
+from . import generator  # reference-compatible alias
+from .configurations import Configurations
+from .ensemble import Ensemble
+from . import observables
+from . import observable  # reference-compatible alias
+from .observables import observables as observables_registry
+from . import analysis
+from .analysis import Blocking, Bootstrap, Uncertain
+
+#: reference-compatible name: dict of all primary observables
+observables = observables_registry

@@ -1,0 +1,391 @@
+"""Monte-Carlo updates for the Villain action.
+
+Each update is a pure jittable kernel over the field pytree ``{'phi', 'n'}``.
+Checkerboard colors are *static masks* — a whole color's proposals, ΔS evaluation
+(algebraic, via one fused ``face_sum``), Metropolis test, and application happen as a
+few fused elementwise TPU kernels; the loop over colors is a static Python loop.
+
+Update semantics match the reference generator-for-generator:
+    SiteUpdate           /root/reference/supervillain/generator/villain/site.py:13-132
+    LinkUpdate           .../villain/link.py:13-113
+    ExactUpdate          .../villain/exact.py:12-141
+    CohomologyUpdate     .../villain/cohomology.py:12-129
+    NeighborhoodUpdate   .../villain/neighborhood.py:12-150
+    ClassicWorm          .../villain/worm.py:17-196 (D=2)
+    Hammer               .../villain/__init__.py:10-63
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..ops import Lattice
+from ..ops import calculus as calc
+from ..models import Villain
+from .base import Generator, uniform_nonzero_int, uniform_int_with_zero, metropolis
+from .combining import Sequentially, KeepEvery
+
+TWO_PI = 2 * np.pi
+
+
+def _require_villain(action):
+    if not isinstance(action, Villain):
+        raise ValueError('Need a Villain action')
+
+
+class SiteUpdate(Generator):
+    r"""Checkerboarded Metropolis update of φ alone:
+    ``Δφ_x ~ U(-interval_phi, +interval_phi)``, n fixed.
+
+    ΔS is evaluated algebraically per link, ``(κ/2)·dΔφ·(2(dφ-2πn) + dΔφ)``, and
+    aggregated per site with one ``face_sum`` per color."""
+
+    name = 'SiteUpdate'
+    fields = ('phi', 'n')
+
+    def __init__(self, action, interval_phi=np.pi):
+        _require_villain(action)
+        self.Action = action
+        self.Lattice = action.Lattice
+        self.interval_phi = float(interval_phi)
+
+    def step(self, key, cfg, stats):
+        S, L = self.Action, self.Lattice
+        phi, n = cfg['phi'], cfg['n']
+        fdt = phi.dtype
+
+        r = calc.d(L, 0, phi) - TWO_PI * n
+        accepted = jnp.zeros((), fdt)
+        acceptance = jnp.zeros((), fdt)
+
+        for ci in range(L.n_colors):
+            mask = jnp.asarray(L.checkerboard_masks[ci])
+            k1, k2 = jax.random.split(jax.random.fold_in(key, ci))
+            prop = jax.random.uniform(k1, L.dims, dtype=fdt,
+                                      minval=-self.interval_phi, maxval=self.interval_phi)
+            change_phi = jnp.where(mask, prop, 0)[None]
+            change_dphi = calc.d(L, 0, change_phi)
+            dS_link = (S.kappa / 2) * change_dphi * (2 * r + change_dphi)
+            dS = calc.face_sum(L, 1, dS_link)[0]
+            accept, prob = metropolis(k2, dS, L.dims)
+            accept = accept & mask
+            applied = jnp.where(accept, change_phi[0], 0)[None]
+            phi = phi + applied
+            r = r + calc.d(L, 0, applied)
+            accepted = accepted + accept.sum()
+            acceptance = acceptance + jnp.where(mask, prob, 0).sum()
+
+        stats = self._tally(stats, accepted, float(L.sites), acceptance / L.sites)
+        return cfg | {'phi': phi}, stats, {}
+
+
+class LinkUpdate(Generator):
+    r"""Whole-1-form simultaneous Metropolis update of n alone:
+    ``Δn_ℓ ∈ W·(±{1..interval_n})``, φ fixed.  No checkerboarding is needed — with
+    dφ frozen every link's ΔS is independent."""
+
+    name = 'LinkUpdate'
+    fields = ('phi', 'n')
+
+    def __init__(self, action, interval_n=1):
+        _require_villain(action)
+        if action.W == float('inf'):
+            raise ValueError('LinkUpdate changes dn by multiples of W; undefined at W=inf.')
+        self.Action = action
+        self.Lattice = action.Lattice
+        self.interval_n = int(interval_n)
+
+    def step(self, key, cfg, stats):
+        S, L = self.Action, self.Lattice
+        phi, n = cfg['phi'], cfg['n']
+        fdt = phi.dtype
+
+        dphi = calc.d(L, 0, phi)
+        k1, k2 = jax.random.split(key)
+        change_n = S.W * uniform_nonzero_int(k1, n.shape, self.interval_n, dtype=n.dtype)
+        dS = (-TWO_PI * S.kappa * change_n) * (dphi - TWO_PI * n - np.pi * change_n)
+        accept, prob = metropolis(k2, dS, n.shape)
+        n = n + jnp.where(accept, change_n, 0)
+
+        stats = self._tally(stats, accept.sum().astype(fdt), float(L.links), prob.mean().astype(fdt))
+        return cfg | {'n': n}, stats, {}
+
+
+class ExactUpdate(Generator):
+    r"""Coordinated update ``Δn = dz`` for an integer 0-form z so that ``d(Δn) = d²z = 0``
+    — preserves dn exactly (works at W=∞).  Checkerboarded like :class:`SiteUpdate`."""
+
+    name = 'ExactUpdate'
+    fields = ('phi', 'n')
+
+    def __init__(self, action, interval_z=1):
+        _require_villain(action)
+        self.Action = action
+        self.Lattice = action.Lattice
+        self.interval_z = int(interval_z)
+
+    def step(self, key, cfg, stats):
+        S, L = self.Action, self.Lattice
+        phi, n = cfg['phi'], cfg['n']
+        fdt = phi.dtype
+
+        dphi = calc.d(L, 0, phi)
+        accepted = jnp.zeros((), fdt)
+        acceptance = jnp.zeros((), fdt)
+
+        for ci in range(L.n_colors):
+            mask = jnp.asarray(L.checkerboard_masks[ci])
+            k1, k2 = jax.random.split(jax.random.fold_in(key, ci))
+            z = uniform_nonzero_int(k1, L.dims, self.interval_z, dtype=n.dtype)
+            change_z = jnp.where(mask, z, 0)[None]
+            change_n = calc.d(L, 0, change_z)
+            dS_link = (-TWO_PI * S.kappa * change_n) * ((dphi - TWO_PI * n) - np.pi * change_n)
+            dS = calc.face_sum(L, 1, dS_link)[0]
+            accept, prob = metropolis(k2, dS, L.dims)
+            accept = accept & mask
+            applied_z = jnp.where(accept, change_z[0], 0)[None]
+            n = n + calc.d(L, 0, applied_z)
+            accepted = accepted + accept.sum()
+            acceptance = acceptance + jnp.where(mask, prob, 0).sum()
+
+        stats = self._tally(stats, accepted, float(L.sites), acceptance / L.sites)
+        return cfg | {'n': n}, stats, {}
+
+
+class CohomologyUpdate(Generator):
+    r"""Winding-sector update: for each direction μ, propose adding a constant
+    ``h_μ ∈ ±{1..interval_h}`` to ``n_μ`` on the slice ``x_μ = 0``.  ``d(Δn) = 0``
+    exactly, and the winding number w_μ changes by h_μ."""
+
+    name = 'CohomologyUpdate'
+    fields = ('phi', 'n')
+
+    def __init__(self, action, interval_h=1):
+        _require_villain(action)
+        self.Action = action
+        self.Lattice = action.Lattice
+        self.interval_h = int(interval_h)
+        # slice_masks[mu]: 1 on sites with x_mu = 0, shape dims.
+        masks = []
+        for mu in range(self.Lattice.D):
+            m = np.zeros(self.Lattice.dims, dtype=bool)
+            idx = tuple(0 if i == mu else slice(None) for i in range(self.Lattice.D))
+            m[idx] = True
+            masks.append(m)
+        self._slice_masks = np.stack(masks)
+
+    def step(self, key, cfg, stats):
+        S, L = self.Action, self.Lattice
+        phi, n = cfg['phi'], cfg['n']
+        fdt = phi.dtype
+
+        r = calc.d(L, 0, phi) - TWO_PI * n
+        accepted = jnp.zeros((), fdt)
+        acceptance = jnp.zeros((), fdt)
+
+        for mu in range(L.D):
+            mask = jnp.asarray(self._slice_masks[mu])
+            k1, k2 = jax.random.split(jax.random.fold_in(key, mu))
+            h = uniform_nonzero_int(k1, (), self.interval_h, dtype=n.dtype)
+            change_r = (-TWO_PI) * h.astype(fdt)
+            dS = jnp.sum(jnp.where(mask, (S.kappa / 2) * change_r * (2 * r[mu] + change_r), 0))
+            prob = jnp.clip(jnp.exp(-dS), max=1.0)
+            accept = jax.random.uniform(k2, (), dtype=fdt) < prob
+            dh = jnp.where(accept, h, 0)
+            n = n.at[mu].add(jnp.where(mask, dh, 0))
+            r = r.at[mu].add(jnp.where(mask, (-TWO_PI) * dh.astype(fdt), 0))
+            accepted = accepted + accept.astype(fdt)
+            acceptance = acceptance + prob
+
+        stats = self._tally(stats, accepted, float(L.D), acceptance / L.D)
+        return cfg | {'n': n}, stats, {}
+
+
+class NeighborhoodUpdate(Generator):
+    r"""Simultaneous site-neighborhood update: Δφ at each same-color site plus
+    ``Δn ∈ W·{-interval_n..interval_n}`` on the 2D links touching it; the adjacent
+    link sets of same-color sites are disjoint, so one fused ``face_sum`` aggregates
+    ΔS per site."""
+
+    name = 'NeighborhoodUpdate'
+    fields = ('phi', 'n')
+
+    def __init__(self, action, interval_phi=np.pi, interval_n=1):
+        _require_villain(action)
+        if action.W == float('inf'):
+            raise ValueError('NeighborhoodUpdate offers Δn in multiples of W; undefined at W=inf.')
+        self.Action = action
+        self.Lattice = action.Lattice
+        self.interval_phi = float(interval_phi)
+        self.interval_n = int(interval_n)
+
+    def step(self, key, cfg, stats):
+        S, L = self.Action, self.Lattice
+        phi, n = cfg['phi'], cfg['n']
+        fdt = phi.dtype
+
+        r = calc.d(L, 0, phi) - TWO_PI * n
+        accepted = jnp.zeros((), fdt)
+        acceptance = jnp.zeros((), fdt)
+
+        for ci in range(L.n_colors):
+            mask = jnp.asarray(L.checkerboard_masks[ci])
+            kp, kn, kb, km = jax.random.split(jax.random.fold_in(key, ci), 4)
+
+            prop = jax.random.uniform(kp, L.dims, dtype=fdt,
+                                      minval=-self.interval_phi, maxval=self.interval_phi)
+            change_phi = jnp.where(mask, prop, 0)[None]
+
+            # Forward link (mu, x) and backward link (mu, x - e_mu) per color site.
+            fwd = S.W * uniform_int_with_zero(kn, (L.D,) + L.dims, self.interval_n, dtype=n.dtype)
+            bwd = S.W * uniform_int_with_zero(kb, (L.D,) + L.dims, self.interval_n, dtype=n.dtype)
+            fwd_parts = []
+            bwd_parts = []
+            for mu in range(L.D):
+                bwd_mask = jnp.roll(mask, -1, axis=mu)  # sites x - e_mu for x in color
+                fwd_parts.append(jnp.where(mask, fwd[mu], 0))
+                bwd_parts.append(jnp.where(bwd_mask, bwd[mu], 0))
+            change_n_fwd = jnp.stack(fwd_parts)
+            change_n_bwd = jnp.stack(bwd_parts)
+            change_n = change_n_fwd + change_n_bwd
+
+            change_r = calc.d(L, 0, change_phi) - TWO_PI * change_n
+            dS_link = (S.kappa / 2) * change_r * (2 * r + change_r)
+            dS = calc.face_sum(L, 1, dS_link)[0]
+
+            accept, prob = metropolis(km, dS, L.dims)
+            accept = accept & mask
+
+            applied_phi = jnp.where(accept, change_phi[0], 0)[None]
+            applied_parts = []
+            for mu in range(L.D):
+                acc_bwd = jnp.roll(accept, -1, axis=mu)
+                applied_parts.append(jnp.where(accept, change_n_fwd[mu], 0)
+                                     + jnp.where(acc_bwd, change_n_bwd[mu], 0))
+            applied_n = jnp.stack(applied_parts)
+
+            phi = phi + applied_phi
+            n = n + applied_n
+            r = r + calc.d(L, 0, applied_phi) - TWO_PI * applied_n
+            accepted = accepted + accept.sum()
+            acceptance = acceptance + jnp.where(mask, prob, 0).sum()
+
+        stats = self._tally(stats, accepted, float(L.sites), acceptance / L.sites)
+        return cfg | {'phi': phi, 'n': n}, stats, {}
+
+
+class ClassicWorm(Generator):
+    r"""Prokof'ev–Svistunov worm on the plaquettes of a D=2 lattice: the head moves to
+    one of the 4 neighboring plaquettes, changing the crossed link's n while keeping dn
+    fixed; when head == tail (or always, at W=1) a 20%-conditional close move returns
+    to the z sector.  Tallies the inline ``Vortex_Vortex`` histogram and ``Worm_Length``.
+
+    Pure ``lax.while_loop`` kernel with data-dependent trip count; vmaps over chains.
+    Not ergodic alone (never changes φ or dn)."""
+
+    name = 'ClassicWorm'
+    fields = ('phi', 'n')
+
+    # Neighboring-plaquette moves (east, north, west, south) in (t, x) array offsets,
+    # the links each move crosses, and the constraint-restoring Δn per move.
+    _moves = np.array([[0, -1], [1, 0], [0, 1], [-1, 0]])
+    _link_dir = np.array([0, 1, 0, 1])
+    _link_off = np.array([[0, 0], [1, 0], [0, 1], [0, 0]])
+    _plaquette = np.array([+1, +1, -1, -1])
+
+    def __init__(self, action):
+        _require_villain(action)
+        if action.Lattice.D != 2:
+            raise NotImplementedError('ClassicWorm is only implemented for D=2')
+        self.Action = action
+        self.Lattice = action.Lattice
+
+    def inline_shapes(self):
+        L = self.Lattice
+        return {'Vortex_Vortex': ((L.N, L.N), jnp.zeros(()).dtype),
+                'Worm_Length': ((), jnp.zeros(()).dtype)}
+
+    def step(self, key, cfg, stats):
+        S, L = self.Action, self.Lattice
+        N = L.N
+        phi, n = cfg['phi'], cfg['n']
+        fdt = phi.dtype
+        dphi = calc.d(L, 0, phi)
+
+        k_orient, k_tail, k_head, k_loop = jax.random.split(key, 4)
+        orientation = jnp.where(jax.random.bernoulli(k_orient), 1, -1).astype(n.dtype)
+        change_n = orientation * jnp.asarray(self._plaquette, dtype=n.dtype)
+
+        tail = jax.random.randint(k_tail, (2,), 0, N)
+        if S.W == 1:
+            # At W=1 an open worm satisfies the (mod 1) constraint from the start.
+            head = jax.random.randint(k_head, (2,), 0, N)
+        else:
+            head = tail
+
+        moves = jnp.asarray(self._moves)
+        link_dir = jnp.asarray(self._link_dir)
+        link_off = jnp.asarray(self._link_off)
+
+        def cond(state):
+            return ~state[0]
+
+        def body(state):
+            done, key, head, n, hist = state
+            key, k_close, k_choice, k_accept = jax.random.split(key, 4)
+
+            closed = jnp.all(head == tail) | (S.W == 1)
+            close_now = closed & (jax.random.uniform(k_close) >= 0.8)
+
+            choice = jax.random.randint(k_choice, (), 0, 4)
+            next_head = jnp.mod(head + moves[choice], N)
+            ld = link_dir[choice]
+            lpos = jnp.mod(head + link_off[choice], N)
+
+            link_val = dphi[ld, lpos[0], lpos[1]] - TWO_PI * n[ld, lpos[0], lpos[1]]
+            dn = change_n[choice]
+            dS = (S.kappa / 2) * (-TWO_PI * dn) * (2 * link_val - TWO_PI * dn)
+            accept = jax.random.uniform(k_accept, dtype=fdt) < jnp.clip(jnp.exp(-dS), max=1.0)
+            accept = accept & ~close_now
+
+            n = n.at[ld, lpos[0], lpos[1]].add(jnp.where(accept, dn, 0))
+            head = jnp.where(accept, next_head, head)
+
+            disp = jnp.mod(head - tail, N)
+            hist = jnp.where(
+                close_now, hist,
+                hist.at[disp[0], disp[1]].add(1.0)
+            )
+            return close_now, key, head, n, hist
+
+        hist0 = jnp.zeros((N, N), dtype=fdt)
+        _, _, _, n, hist = jax.lax.while_loop(
+            cond, body, (jnp.zeros((), bool), k_loop, head, n, hist0))
+
+        wl = hist.sum()
+        stats = self._tally(stats, wl, wl, jnp.ones((), fdt))
+        return cfg | {'n': n}, stats, {'Vortex_Vortex': hist, 'Worm_Length': wl}
+
+    def report(self, stats=None):
+        stats = stats if stats is not None else getattr(self, '_stats', self.init_stats())
+        s = stats[self.name]
+        worms = max(float(s['sweeps']), 1.0)
+        return (f'{self.name}: {worms:.0f} worms, mean length '
+                f'{float(s["accepted"]) / worms:.3f}')
+
+
+def Hammer(S, worms=1):
+    """Ergodic composite for the Villain action (reference villain/__init__.py:10-63):
+    Sequentially(Site, [Link if W<∞], Exact, Cohomology, [Worm if D==2])."""
+    _require_villain(S)
+    parts = [SiteUpdate(S)]
+    if S.W < float('inf'):
+        parts.append(LinkUpdate(S))
+    parts.append(ExactUpdate(S))
+    parts.append(CohomologyUpdate(S))
+    if S.Lattice.D == 2:
+        worm = ClassicWorm(S)
+        parts.append(KeepEvery(worms, worm) if worms > 1 else worm)
+    return Sequentially(parts)
