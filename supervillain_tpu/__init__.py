@@ -25,6 +25,9 @@ from . import observable  # reference-compatible alias
 from .observables import observables as observables_registry
 from . import analysis
 from .analysis import Blocking, Bootstrap, Uncertain
+from . import io
+from . import cli
+from . import parallel
 
 #: reference-compatible name: dict of all primary observables
 observables = observables_registry

@@ -68,7 +68,7 @@ class Uncertain:
                 decimals = max(0, udigits - 1 - err_exp)
             else:
                 decimals = precision
-            err_digits = round(scaled_e * 10 ** decimals)
+            err_digits = math.floor(scaled_e * 10 ** decimals + 0.5)
             return f'{scaled_v:{sign}.{decimals}f}({err_digits:d})e{exponent:+03d}'
 
         if precision is None:
@@ -76,7 +76,7 @@ class Uncertain:
             decimals = max(0, udigits - 1 - err_exp)
         else:
             decimals = precision
-        err_digits = round(err * 10 ** decimals)
+        err_digits = math.floor(err * 10 ** decimals + 0.5)
         if decimals == 0:
             return f'{value:{sign}.0f}({err_digits:d})'
         return f'{value:{sign}.{decimals}f}({err_digits:d})'

@@ -1,0 +1,78 @@
+"""Command-line tooling (capability of /root/reference/supervillain/cli/:
+ArgumentParser with default logging/metadata flags, the W type accepting 'inf', and
+script-as-config loading)."""
+
+from __future__ import annotations
+
+import argparse
+import importlib.util
+import logging
+import sys
+
+from .. import meta
+
+COPYRIGHT = f'supervillain-tpu {meta.version} ({meta.nickname})'
+LICENSE = 'MIT'
+
+
+def W(value):
+    """Parse the constraint integer, accepting 'inf', '∞', or 'infinity'."""
+    if str(value).lower() in ('inf', 'infinity', '∞'):
+        return float('inf')
+    w = int(value)
+    if w < 1:
+        raise argparse.ArgumentTypeError(f'W must be a positive integer or inf, got {value}')
+    return w
+
+
+def input_file(path):
+    """Load a user python file as a module — script-as-config
+    (reference cli/__init__.py:72-91)."""
+    spec = importlib.util.spec_from_file_location('input', path)
+    module = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(module)
+    return module
+
+
+class _MetadataAction(argparse.Action):
+    def __init__(self, option_strings, dest, text='', **kwargs):
+        self.text = text
+        super().__init__(option_strings, dest, nargs=0, **kwargs)
+
+    def __call__(self, parser, namespace, values, option_string=None):
+        print(self.text)
+        parser.exit()
+
+
+def _log_parent():
+    parent = argparse.ArgumentParser(add_help=False)
+    parent.add_argument('--log-level', default='WARNING',
+                        choices=['DEBUG', 'INFO', 'WARNING', 'ERROR', 'CRITICAL'])
+    parent.add_argument('--log-format', default='%(asctime)s %(name)s %(levelname)10s %(message)s')
+    return parent
+
+
+def _metadata_parent():
+    parent = argparse.ArgumentParser(add_help=False)
+    parent.add_argument('--version', action=_MetadataAction, text=meta.version)
+    parent.add_argument('--copyright', action=_MetadataAction, text=COPYRIGHT)
+    parent.add_argument('--license', action=_MetadataAction, text=LICENSE)
+    return parent
+
+
+class ArgumentParser(argparse.ArgumentParser):
+    """argparse.ArgumentParser with default --log-level/--log-format and
+    --version/--copyright/--license flags; parsing configures logging."""
+
+    def __init__(self, *args, **kwargs):
+        parents = list(kwargs.pop('parents', ()))
+        parents += [_log_parent(), _metadata_parent()]
+        kwargs.setdefault('epilog', COPYRIGHT)
+        super().__init__(*args, parents=parents, **kwargs)
+
+    def parse_args(self, *args, **kwargs):
+        parsed = super().parse_args(*args, **kwargs)
+        if hasattr(parsed, 'log_level'):
+            logging.basicConfig(level=getattr(logging, parsed.log_level),
+                                format=parsed.log_format, stream=sys.stdout)
+        return parsed

@@ -264,3 +264,7 @@ class Ensemble:
     def from_h5(cls, group):
         from .io import ensemble_from_h5
         return ensemble_from_h5(group)
+
+    def extend_h5(self, group):
+        from .io import ensemble_extend_h5
+        return ensemble_extend_h5(self, group)

@@ -22,7 +22,8 @@ class Spin_Spin(Observable):
     @staticmethod
     def Villain(S, phi):
         L = S.Lattice
-        spin = jnp.exp(1j * phi[0].astype(jnp.promote_types(phi.dtype, jnp.complex64)))
+        cdtype = jnp.complex128 if jnp.result_type(0.0) == jnp.float64 else jnp.complex64
+        spin = jnp.exp(1j * phi[0].astype(cdtype))
         return L.correlation(spin, spin)
 
     @staticmethod

@@ -22,7 +22,7 @@ class Vortex_Vortex(Constrained, Observable):
         L = S.Lattice
         if L.D < 2:
             raise NotImplementedError('Vortex observables require D >= 2.')
-        cdtype = jnp.promote_types(jnp.asarray(v).dtype, jnp.complex64)
+        cdtype = jnp.complex128 if jnp.result_type(0.0) == jnp.float64 else jnp.complex64
         vortex = jnp.exp(2j * np.pi * v.astype(cdtype) / S._W)
         return L.correlation(vortex, vortex).mean(axis=0)
 

