@@ -1,40 +1,61 @@
-"""Standard comparison figure: history / histogram / bootstrap panels
-(capability of /root/reference/supervillain/analysis/comparison_plot.py:8-99)."""
+"""Standard comparison figure: history / histogram / bootstrap panels, with the
+reference's interface (setup / histories / bootstraps,
+/root/reference/supervillain/analysis/comparison_plot.py:8-99)."""
 
 from __future__ import annotations
 
 import numpy as np
 
+from .autocorrelation import autocorrelation_time
+from .uncertain import Uncertain
 
-def comparison_plot(observables, figsize=(12, 8)):
-    """Create a figure with one row per observable and 3 columns
-    (Monte Carlo history, histogram, bootstrap distributions).
+_default_observables = ('ActionDensity', 'InternalEnergyDensity',
+                        'InternalEnergyDensitySquared', 'WindingSquared')
 
-    Returns (fig, ax) with ax shaped (len(observables), 3).
-    """
+
+def setup(observables=_default_observables):
+    """Figure with one row per observable and three columns: Monte Carlo history,
+    histogram of measurements, histogram of bootstraps.  Returns (fig, ax) with ax
+    two-dimensional even for a single observable."""
     import matplotlib.pyplot as plt
     fig, ax = plt.subplots(len(observables), 3,
-                           figsize=figsize, squeeze=False,
-                           gridspec_kw={'width_ratios': (3, 1, 1)},
-                           sharey='row')
-    for row, name in zip(ax, observables):
-        row[0].set_ylabel(name)
+                           figsize=(12, 2.5 * len(observables)),
+                           gridspec_kw={'width_ratios': [4, 1, 1], 'wspace': 0, 'hspace': 0},
+                           sharey='row',
+                           squeeze=False)
     ax[-1, 0].set_xlabel('Monte Carlo time')
-    ax[-1, 1].set_xlabel('density')
-    ax[-1, 2].set_xlabel('bootstraps')
+    ax[-1, 1].set_xticks([])
+    ax[-1, 1].set_xlabel('Measurements')
+    ax[-1, 2].set_xticks([])
+    ax[-1, 2].set_xlabel('Bootstraps')
+    for a, o in zip(ax, observables):
+        a[0].set_ylabel(o)
     return fig, ax
 
 
-def histories(ax_row, ensemble, observable, label=None, color=None, bins=31):
-    """History + histogram of a scalar observable on the first two panels."""
-    data = np.asarray(getattr(ensemble, observable)).real
-    ax_row[0].plot(np.asarray(ensemble.index), data, label=label, color=color)
-    ax_row[1].hist(data, orientation='horizontal', bins=bins, density=True,
-                   alpha=0.5, color=color)
+def bootstraps(ax, boots, labels=None, observables=_default_observables):
+    """Per observable row: each bootstrap's underlying history, its ±1σ band, and a
+    bootstrap histogram labeled with the formatted estimate."""
+    if labels is None:
+        labels = tuple('' for b in boots)
+    for a, o in zip(ax, observables):
+        for b, label in zip(boots, labels):
+            b.Ensemble.plot_history(a, o, alpha=0.5)
+            b.plot_band(a[0], o)
+            a[2].hist(np.asarray(getattr(b, o)).real,
+                      density=True, orientation='horizontal', alpha=0.5, bins=25,
+                      label=f'{label} {Uncertain(*b.estimate(o))}')
+        a[2].legend()
 
 
-def bootstraps(ax_row, bootstrap, observable, label=None, color=None, bins=31):
-    """Bootstrap distribution of a scalar quantity on the third panel."""
-    data = np.asarray(getattr(bootstrap, observable)).real
-    ax_row[2].hist(data, orientation='horizontal', bins=bins, density=True,
-                   alpha=0.5, color=color, label=label)
+def histories(ax, ensembles, labels=None, observables=_default_observables):
+    """Per observable row: each ensemble's Monte Carlo history labeled with its
+    autocorrelation time."""
+    if labels is None:
+        labels = tuple('' for e in ensembles)
+    for a, o in zip(ax, observables):
+        for e, label in zip(ensembles, labels):
+            tau = autocorrelation_time(np.asarray(getattr(e, o)).real)
+            e.plot_history(a, o, alpha=0.5,
+                           history_kwargs={'zorder': -1, 'label': f'{label} τ={tau}'})
+        a[0].legend(loc='upper left')

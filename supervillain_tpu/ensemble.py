@@ -58,6 +58,11 @@ class Ensemble:
             draws and enables progress reporting).  Default: one scan.
         """
         S = self.Action
+
+        if getattr(generator, 'host_only', False):
+            return self._generate_host(steps, generator, start, progress,
+                                       starting_index, index_stride)
+
         key = seed if isinstance(seed, jax.Array) else jax.random.key(seed)
 
         if start == 'cold':
@@ -115,6 +120,30 @@ class Ensemble:
 
         for line in generator.report().split('\n'):
             logger.info(line)
+        return self
+
+    def _generate_host(self, steps, generator, start, progress, starting_index, index_stride):
+        """Python-loop generation for host-only (oracle) generators."""
+        S = self.Action
+        if start == 'cold':
+            cfg = {k: np.asarray(v) for k, v in S.initial().items()}
+        else:
+            cfg = dict(start)
+        columns = None
+        for i in progress(range(steps), desc='Generation'):
+            cfg = generator.step_cfg(cfg)
+            if columns is None:
+                columns = {k: np.empty((steps,) + np.shape(v), dtype=np.asarray(v).dtype)
+                           for k, v in cfg.items()}
+            for k, v in cfg.items():
+                columns[k][i] = v
+        self.configuration = Configurations(columns)
+        self.index_stride = index_stride
+        self.index = starting_index + index_stride * np.arange(steps)
+        self.weight = np.ones(steps)
+        self.start = start
+        self.generator = generator
+        self._final = {k: np.asarray(cfg[k]) for k in S.fields}
         return self
 
     @classmethod

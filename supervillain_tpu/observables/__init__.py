@@ -28,5 +28,8 @@ from .topological import (
     TopologicalTwoPoint, Topological_Topological,
 )
 
+from . import reference_implementation
+from .reference_implementation import Spin_SpinSlow, Vortex_VortexSlow
+
 #: All primary observables (reference `supervillain.observables`).
 observables = registry
