@@ -74,6 +74,46 @@ def main():
     kappa = 0.5
     chains = 128
     timed_steps = 20
+    on_tpu = jax.default_backend() not in ('cpu',)
+
+    if on_tpu:
+        # Headline path: the Pallas-fused sweep kernel (state stays in VMEM across
+        # all sweeps of a launch).
+        from supervillain_tpu.ops.pallas_sweep import neighborhood_sweeps
+        sweeps = 50
+        phi = jnp.zeros((chains, 1, N, N), jnp.float32)
+        n = jnp.zeros((chains, 2, N, N), jnp.int32)
+        phi, n, acc = neighborhood_sweeps(jnp.int32(1), phi, n, N=N, kappa=kappa,
+                                          W=1, interval_phi=float(np.pi),
+                                          interval_n=1, sweeps=sweeps)
+        float(acc.sum())  # warmup + thermalization
+        start = time.perf_counter()
+        phi, n, acc = neighborhood_sweeps(jnp.int32(2), phi, n, N=N, kappa=kappa,
+                                          W=1, interval_phi=float(np.pi),
+                                          interval_n=1, sweeps=sweeps)
+        float(acc.sum())
+        elapsed = time.perf_counter() - start
+        rate = chains * N * N * sweeps / elapsed
+
+        base_steps = 5
+        base_elapsed = numpy_baseline_sweep(N, kappa, 1, base_steps, np.random.default_rng(0))
+        base_rate = (N * N * base_steps) / base_elapsed
+        print(json.dumps({
+            'metric': 'site-updates/s/chip (Villain NeighborhoodUpdate, pallas-fused, L=256, 128 chains)',
+            'value': rate,
+            'unit': 'site-updates/s',
+            'vs_baseline': rate / base_rate,
+            'detail': {
+                'elapsed_s': elapsed,
+                'sweeps': sweeps,
+                'chains': chains,
+                'L': N,
+                'baseline_rate_numpy_1chain': base_rate,
+                'device': str(jax.devices()[0]),
+                'kernel': 'pallas_fused_vmem_resident',
+            },
+        }))
+        return
 
     L = sv.Lattice2D(N)
     S = sv.Villain(L, kappa, W=1)

@@ -3,3 +3,4 @@ from .combining import Sequentially, KeepEvery
 from .monitor import Logger
 from . import villain
 from . import worldline
+from .villain_fused import FusedNeighborhoodUpdate

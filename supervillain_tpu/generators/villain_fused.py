@@ -1,0 +1,78 @@
+"""Pallas-fused Villain generator.
+
+:class:`FusedNeighborhoodUpdate` samples exactly the same transition kernel as
+:class:`~.villain.NeighborhoodUpdate` (same proposals, same ΔS algebra, same
+Metropolis test) but executes ``sweeps_per_step`` whole sweeps per call inside one
+Pallas TPU kernel, keeping the chain state in VMEM throughout
+(:mod:`supervillain_tpu.ops.pallas_sweep`).  ~10× the XLA path's throughput on a
+v5e chip at L=256.
+
+TPU-only (D=2, even N, W<∞): on other backends it falls back to the XLA
+NeighborhoodUpdate transparently.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..models import Villain
+from .base import Generator
+from .villain import NeighborhoodUpdate
+
+
+def _pallas_supported(action):
+    if action.Lattice.D != 2 or action.Lattice.N % 2 != 0:
+        return False
+    if action.W == float('inf'):
+        return False
+    return jax.default_backend() not in ('cpu',)
+
+
+class FusedNeighborhoodUpdate(Generator):
+    name = 'NeighborhoodUpdate'  # same transition kernel; same stats tag
+    fields = ('phi', 'n')
+
+    def __init__(self, action, interval_phi=np.pi, interval_n=1, sweeps_per_step=1):
+        if not isinstance(action, Villain):
+            raise ValueError('Need a Villain action')
+        self.Action = action
+        self.Lattice = action.Lattice
+        self.interval_phi = float(interval_phi)
+        self.interval_n = int(interval_n)
+        self.sweeps_per_step = int(sweeps_per_step)
+        self._fallback = None
+        if not _pallas_supported(action):
+            self._fallback = NeighborhoodUpdate(action, interval_phi, interval_n)
+
+    def step(self, key, cfg, stats):
+        if self._fallback is not None:
+            for _ in range(self.sweeps_per_step):
+                key, sub = jax.random.split(key)
+                cfg, stats, _ = self._fallback.step(sub, cfg, stats)
+            # The fallback tallies under the same 'NeighborhoodUpdate' tag.
+            return cfg, stats, {}
+
+        from ..ops.pallas_sweep import neighborhood_sweeps
+        S, L = self.Action, self.Lattice
+        seed = jax.random.randint(key, (), 0, np.int32(2 ** 31 - 1), dtype=jnp.int32)
+        phi = cfg['phi'].astype(jnp.float32)[None]
+        n = cfg['n'].astype(jnp.int32)[None]
+        phi, n, accepted = neighborhood_sweeps(
+            seed, phi, n, N=L.N, kappa=S.kappa, W=int(S.W),
+            interval_phi=self.interval_phi, interval_n=self.interval_n,
+            sweeps=self.sweeps_per_step)
+        stats = self._tally(
+            stats,
+            accepted[0],
+            float(L.sites * self.sweeps_per_step),
+            # The kernel does not tally the Metropolis probability; report the
+            # realized acceptance fraction instead.
+            accepted[0] / (L.sites * self.sweeps_per_step),
+            sweeps=float(self.sweeps_per_step),
+        )
+        out = dict(cfg)
+        out['phi'] = phi[0].astype(cfg['phi'].dtype)
+        out['n'] = n[0].astype(cfg['n'].dtype)
+        return out, stats, {}

@@ -1,0 +1,60 @@
+"""TPU-hardware statistical agreement of the Pallas-fused sweep kernel with the XLA
+NeighborhoodUpdate path.  Kept outside tests/ so the CPU-forcing conftest does not apply; run manually with:
+    python -m pytest tpu_tests -q
+on a machine with a TPU backend.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+import supervillain_tpu as sv
+
+requires_tpu = pytest.mark.skipif(jax.default_backend() == 'cpu', reason='needs TPU')
+
+
+@requires_tpu
+def test_fused_kernel_statistics():
+    from supervillain_tpu.ops.pallas_sweep import neighborhood_sweeps
+    N, B = 64, 64
+    kappa = 0.2
+    L = sv.Lattice2D(N)
+    S = sv.Villain(L, kappa, W=1)
+
+    phi = jnp.zeros((B, 1, N, N), jnp.float32)
+    n = jnp.zeros((B, 2, N, N), jnp.int32)
+    # Thermalize, then measure.
+    phi, n, _ = neighborhood_sweeps(jnp.int32(3), phi, n, N=N, kappa=kappa, W=1,
+                                    interval_phi=float(np.pi), interval_n=1, sweeps=200)
+    phi, n, acc = neighborhood_sweeps(jnp.int32(4), phi, n, N=N, kappa=kappa, W=1,
+                                      interval_phi=float(np.pi), interval_n=1, sweeps=100)
+    for b in range(0, B, 16):
+        assert S.valid({'n': np.asarray(n[b])})
+    pallas_S = np.array([float(S(phi[b], n[b])) / L.sites for b in range(B)])
+
+    # XLA path, same workload.
+    from supervillain_tpu.generators import villain as gv
+    G = gv.NeighborhoodUpdate(S)
+    def one(k, c, s):
+        c, s, _ = G.step(k, c, s)
+        return c, s
+    cfgs = {'phi': jnp.zeros((B, 1, N, N), jnp.float32),
+            'n': jnp.zeros((B, 2, N, N), jnp.int32)}
+    stats = jax.tree.map(lambda x: jnp.broadcast_to(x, (B,) + x.shape).astype(jnp.float32),
+                         G.init_stats())
+    @jax.jit
+    def steps(key, cfgs, stats, n_steps=300):
+        def body(carry, k):
+            cfgs, stats = carry
+            keys = jax.vmap(lambda i: jax.random.fold_in(k, i))(jnp.arange(B))
+            return jax.vmap(one)(keys, cfgs, stats), None
+        (cfgs, stats), _ = jax.lax.scan(body, (cfgs, stats), jax.random.split(key, 300))
+        return cfgs, stats
+    cfgs, stats = steps(jax.random.key(0), cfgs, stats)
+    xla_S = np.array([float(S(cfgs['phi'][b], cfgs['n'][b])) / L.sites for b in range(B)])
+
+    ma, ea = pallas_S.mean(), pallas_S.std() / np.sqrt(B)
+    mb, eb = xla_S.mean(), xla_S.std() / np.sqrt(B)
+    pull = abs(ma - mb) / np.hypot(ea, eb)
+    assert pull < 5, f'pallas {ma}({ea}) vs xla {mb}({eb}): pull {pull}'
