@@ -1,0 +1,108 @@
+"""Sweep-throughput scaling harness: sweeps/s and site-updates/s as a function of
+device count on the chain mesh (the BASELINE multi-host scaling-efficiency metric).
+
+On a real pod run this after ``jax.distributed.initialize()``; on a dev box the
+virtual CPU mesh (``--xla_force_host_platform_device_count``) demonstrates the same
+SPMD program.
+
+Run as a script: ``python -m supervillain_tpu.benchmark.scaling``.
+"""
+
+from __future__ import annotations
+
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def _fleet_sweeps(action, generator, chains, steps, mesh):
+    """One jitted fleet program: `steps` sweeps of `chains` chains, sharded."""
+    cfg0 = action.initial()
+    cfgs = jax.tree.map(lambda x: jnp.broadcast_to(x, (chains,) + x.shape), cfg0)
+    stats = jax.tree.map(lambda x: jnp.broadcast_to(x, (chains,) + x.shape),
+                         generator.init_stats())
+    if mesh is not None:
+        shard = lambda x: jax.device_put(
+            x, NamedSharding(mesh, P('chains', *([None] * (x.ndim - 1)))))
+        cfgs = jax.tree.map(shard, cfgs)
+        stats = jax.tree.map(shard, stats)
+
+    def one(k, c, s):
+        c, s, _ = generator.step(k, c, s)
+        return c, s
+
+    @jax.jit
+    def run(key, cfgs, stats):
+        def body(carry, k):
+            cfgs, stats = carry
+            keys = jax.vmap(lambda i: jax.random.fold_in(k, i))(jnp.arange(chains))
+            return jax.vmap(one)(keys, cfgs, stats), None
+        (cfgs, stats), _ = jax.lax.scan(body, (cfgs, stats), jax.random.split(key, steps))
+        return jax.tree.map(lambda x: x.sum(), cfgs), stats
+
+    return run, cfgs, stats
+
+
+def scaling_efficiency(N=32, chains_per_device=8, steps=10, device_counts=None,
+                       kappa=0.5):
+    """Measure sweeps/s at 1, 2, ..., n devices (chains scale with devices — weak
+    scaling, the production regime) and report parallel efficiency."""
+    import supervillain_tpu as sv
+    from supervillain_tpu.generators import villain as gv
+
+    devices = jax.devices()
+    if device_counts is None:
+        device_counts = [d for d in (1, 2, 4, 8, 16, 32) if d <= len(devices)]
+
+    S = sv.Villain(sv.Lattice2D(N), kappa, W=1)
+    results = []
+    base = None
+    print(f'{"devices":>8} {"chains":>7} {"sweeps/s":>12} {"su/s":>14} {"efficiency":>11}')
+    for nd in device_counts:
+        mesh = Mesh(np.array(devices[:nd]), ('chains',)) if nd > 1 else None
+        chains = chains_per_device * nd
+        G = gv.NeighborhoodUpdate(S)
+        run, cfgs, stats = _fleet_sweeps(S, G, chains, steps, mesh)
+        out, _ = run(jax.random.key(0), cfgs, stats)
+        float(jax.tree.leaves(out)[0])
+        start = time.perf_counter()
+        out, _ = run(jax.random.key(1), cfgs, stats)
+        float(jax.tree.leaves(out)[0])
+        elapsed = time.perf_counter() - start
+        sweeps_per_s = chains * steps / elapsed
+        su_per_s = sweeps_per_s * N * N
+        per_device = sweeps_per_s / nd
+        if base is None:
+            base = per_device
+        eff = per_device / base
+        results.append({'devices': nd, 'chains': chains, 'sweeps_per_s': sweeps_per_s,
+                        'site_updates_per_s': su_per_s, 'efficiency': eff})
+        print(f'{nd:>8} {chains:>7} {sweeps_per_s:>12.1f} {su_per_s:>14.3e} {eff:>10.1%}')
+    return results
+
+
+def _force_virtual_cpu(n):
+    """Before any backend use: switch to n virtual CPU devices (dev-box mode)."""
+    import os
+    flags = os.environ.get('XLA_FLAGS', '')
+    if '--xla_force_host_platform_device_count' not in flags:
+        os.environ['XLA_FLAGS'] = (flags + f' --xla_force_host_platform_device_count={n}').strip()
+    jax.config.update('jax_platforms', 'cpu')
+
+
+if __name__ == '__main__':
+    import argparse
+    ap = argparse.ArgumentParser()
+    ap.add_argument('--virtual-cpu', type=int, default=0,
+                    help='Force N virtual CPU devices (dev-box demonstration).')
+    ap.add_argument('--N', type=int, default=32)
+    ap.add_argument('--chains-per-device', type=int, default=8)
+    ap.add_argument('--steps', type=int, default=10)
+    args = ap.parse_args()
+    if args.virtual_cpu:
+        _force_virtual_cpu(args.virtual_cpu)
+    scaling_efficiency(N=args.N, chains_per_device=args.chains_per_device,
+                       steps=args.steps)

@@ -404,6 +404,47 @@ class Lattice2D(Lattice):
     def from_h5(cls, group):
         return cls(int(np.asarray(group['N'])))
 
+    def plot_form(self, p, form, axis, label=None, cmap=None, pointsize=200,
+                  linkwidth=0.025, markerstyle='o'):
+        """Visualize a p-form on the axis: 0-forms as colored sites (scatter),
+        1-forms as colored links (quiver-style bars), 2-forms as colored plaquettes
+        (imshow) — the capability of the reference's
+        Lattice2D.plot_form (/root/reference/supervillain/lattice/two_dimensional.py:75-180).
+        """
+        import matplotlib.pyplot as plt
+        from matplotlib import colors as mcolors
+        form = np.asarray(form)
+        N = self.N
+        norm = mcolors.CenteredNorm()
+        cmap = cmap or plt.get_cmap('PiYG')
+        if p == 0:
+            sc = axis.scatter(*np.meshgrid(range(N), range(N), indexing='ij'),
+                              c=form[0], cmap=cmap, norm=norm, s=pointsize,
+                              marker=markerstyle, label=label)
+            plt.colorbar(sc, ax=axis)
+        elif p == 1:
+            t, x = np.meshgrid(range(N), range(N), indexing='ij')
+            cnorm = mcolors.CenteredNorm()
+            cnorm.autoscale(form)
+            for mu, (dt, dx) in enumerate(((1, 0), (0, 1))):
+                for tt in range(N):
+                    for xx in range(N):
+                        axis.plot([tt, tt + dt], [xx, xx + dx],
+                                  color=cmap(cnorm(form[mu, tt, xx])),
+                                  linewidth=1 + 100 * linkwidth)
+            axis.scatter(t, x, color='black', s=pointsize / 10, zorder=3)
+        elif p == 2:
+            im = axis.imshow(form[0].T, origin='lower', cmap=cmap, norm=norm,
+                             extent=(-0.5, N - 0.5, -0.5, N - 0.5))
+            plt.colorbar(im, ax=axis)
+        else:
+            raise ValueError(f'plot_form supports p in (0, 1, 2), got {p}')
+        axis.set_xlabel('t')
+        axis.set_ylabel('x')
+        if label:
+            axis.set_title(label)
+        return axis
+
 
 @lru_cache(maxsize=None)
 def _cached_lattice(D, N):
