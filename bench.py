@@ -70,11 +70,13 @@ def main():
     import supervillain_tpu as sv
     from supervillain_tpu.generators import villain as gv
 
+    import os
     N = 256
     kappa = 0.5
     chains = 128
     timed_steps = 20
     on_tpu = jax.default_backend() not in ('cpu',)
+    full = os.environ.get('BENCH_FULL') == '1'
 
     if on_tpu:
         # Headline path: the Pallas-fused sweep kernel (state stays in VMEM across
@@ -83,17 +85,38 @@ def main():
         sweeps = 50
         phi = jnp.zeros((chains, 1, N, N), jnp.float32)
         n = jnp.zeros((chains, 2, N, N), jnp.int32)
-        phi, n, acc = neighborhood_sweeps(jnp.int32(1), phi, n, N=N, kappa=kappa,
-                                          W=1, interval_phi=float(np.pi),
-                                          interval_n=1, sweeps=sweeps)
+        phi, n, acc, _ = neighborhood_sweeps(jnp.int32(1), phi, n, N=N, kappa=kappa,
+                                             W=1, interval_phi=float(np.pi),
+                                             interval_n=1, sweeps=sweeps)
         float(acc.sum())  # warmup + thermalization
         start = time.perf_counter()
-        phi, n, acc = neighborhood_sweeps(jnp.int32(2), phi, n, N=N, kappa=kappa,
-                                          W=1, interval_phi=float(np.pi),
-                                          interval_n=1, sweeps=sweeps)
+        phi, n, acc, _ = neighborhood_sweeps(jnp.int32(2), phi, n, N=N, kappa=kappa,
+                                             W=1, interval_phi=float(np.pi),
+                                             interval_n=1, sweeps=sweeps)
         float(acc.sum())
         elapsed = time.perf_counter() - start
         rate = chains * N * N * sweeps / elapsed
+
+        extra = {}
+        if full:
+            # Optional L sweep for the L=64..1024 scaling table (each size pays a
+            # fresh kernel compile through the remote tunnel).
+            for (Nx, Bx) in ((64, 512), (512, 32), (1024, 8)):
+                px = jnp.zeros((Bx, 1, Nx, Nx), jnp.float32)
+                nx = jnp.zeros((Bx, 2, Nx, Nx), jnp.int32)
+                px, nx, ax, _ = neighborhood_sweeps(jnp.int32(1), px, nx, N=Nx,
+                                                    kappa=kappa, W=1,
+                                                    interval_phi=float(np.pi),
+                                                    interval_n=1, sweeps=20)
+                float(ax.sum())
+                t0 = time.perf_counter()
+                px, nx, ax, _ = neighborhood_sweeps(jnp.int32(2), px, nx, N=Nx,
+                                                    kappa=kappa, W=1,
+                                                    interval_phi=float(np.pi),
+                                                    interval_n=1, sweeps=20)
+                float(ax.sum())
+                dt = time.perf_counter() - t0
+                extra[f'L={Nx}'] = Bx * Nx * Nx * 20 / dt
 
         base_steps = 5
         base_elapsed = numpy_baseline_sweep(N, kappa, 1, base_steps, np.random.default_rng(0))
@@ -111,6 +134,7 @@ def main():
                 'baseline_rate_numpy_1chain': base_rate,
                 'device': str(jax.devices()[0]),
                 'kernel': 'pallas_fused_vmem_resident',
+                'L_sweep_su_per_s': extra,
             },
         }))
         return

@@ -4,3 +4,4 @@ from .monitor import Logger
 from . import villain
 from . import worldline
 from .villain_fused import FusedNeighborhoodUpdate
+from .worldline_fused import FusedWorldlineUpdate

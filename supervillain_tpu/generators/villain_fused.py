@@ -46,6 +46,13 @@ class FusedNeighborhoodUpdate(Generator):
         if not _pallas_supported(action):
             self._fallback = NeighborhoodUpdate(action, interval_phi, interval_n)
 
+    def inline_shapes(self):
+        import jax.numpy as jnp
+        if self._fallback is not None:
+            return {}
+        return {'ActionDensity': ((), jnp.float32),
+                'WindingSquared': ((), jnp.float32)}
+
     def step(self, key, cfg, stats):
         if self._fallback is not None:
             for _ in range(self.sweeps_per_step):
@@ -59,7 +66,7 @@ class FusedNeighborhoodUpdate(Generator):
         seed = jax.random.randint(key, (), 0, np.int32(2 ** 31 - 1), dtype=jnp.int32)
         phi = cfg['phi'].astype(jnp.float32)[None]
         n = cfg['n'].astype(jnp.int32)[None]
-        phi, n, accepted = neighborhood_sweeps(
+        phi, n, accepted, inline = neighborhood_sweeps(
             seed, phi, n, N=L.N, kappa=S.kappa, W=int(S.W),
             interval_phi=self.interval_phi, interval_n=self.interval_n,
             sweeps=self.sweeps_per_step)
@@ -75,4 +82,6 @@ class FusedNeighborhoodUpdate(Generator):
         out = dict(cfg)
         out['phi'] = phi[0].astype(cfg['phi'].dtype)
         out['n'] = n[0].astype(cfg['n'].dtype)
-        return out, stats, {}
+        # Inline observables measured in-kernel, averaged over the launch's sweeps
+        # (a blocked inline measurement, like KeepEvery(blocked_inline=True)).
+        return out, stats, {k: v[0] for k, v in inline.items()}

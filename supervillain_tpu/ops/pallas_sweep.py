@@ -102,17 +102,31 @@ def _make_kernel(N, kappa, W, interval_phi, interval_n, sweeps):
             return phi, n0, n1, r0, r1, acc
 
         def sweep(s, state):
-            state = color_pass(0, state)
-            state = color_pass(1, state)
-            return state
+            phi, n0, n1, r0, r1, acc, sS, sw2 = state
+            phi, n0, n1, r0, r1, acc = color_pass(
+                1, color_pass(0, (phi, n0, n1, r0, r1, acc)))
+            # Inline observables, measured once per sweep while the residuals are
+            # hot in VMEM: action density (κ/2)Σr²/Λ and the mean squared
+            # plaquette winding (dn)² with dn = Δ_0 n_1 − Δ_1 n_0.
+            sS = sS + (kappa / 2) * (jnp.sum(r0 * r0) + jnp.sum(r1 * r1)) * np.float32(1.0 / (N * N))
+            dn = (_roll(n1, -1, 0) - n1) - (_roll(n0, -1, 1) - n0)
+            dnf = dn.astype(jnp.float32)
+            sw2 = sw2 + jnp.sum(dnf * dnf) * np.float32(1.0 / (N * N))
+            return phi, n0, n1, r0, r1, acc, sS, sw2
 
-        phi, n0, n1, r0, r1, acc = jax.lax.fori_loop(
-            0, sweeps, sweep, (phi, n0, n1, r0, r1, jnp.float32(0.0)))
+        phi, n0, n1, r0, r1, acc, sS, sw2 = jax.lax.fori_loop(
+            0, sweeps, sweep,
+            (phi, n0, n1, r0, r1, jnp.float32(0.0), jnp.float32(0.0), jnp.float32(0.0)))
 
         phi_out[0, 0] = phi
         n_out[0, 0] = n0
         n_out[0, 1] = n1
-        acc_out[0] = jnp.full((8, 128), acc, jnp.float32)
+        acc_out[0] = jnp.concatenate([
+            jnp.full((1, 128), acc, jnp.float32),
+            jnp.full((1, 128), sS, jnp.float32),
+            jnp.full((1, 128), sw2, jnp.float32),
+            jnp.zeros((5, 128), jnp.float32),
+        ], axis=0)
 
     return kernel
 
@@ -131,7 +145,9 @@ def neighborhood_sweeps(seed, phi, n, *, N, kappa, W, interval_phi, interval_n,
 
     Returns
     -------
-    (phi, n, accepted): updated fields and per-chain accepted counts (B,).
+    (phi, n, accepted, inline): updated fields, per-chain accepted counts (B,),
+    and per-chain inline observables averaged over the launch's sweeps:
+    ``{'ActionDensity': (B,), 'WindingSquared': (B,)}``.
     """
     B = phi.shape[0]
     kernel = _make_kernel(N, kappa, W, interval_phi, interval_n, sweeps)
@@ -149,4 +165,6 @@ def neighborhood_sweeps(seed, phi, n, *, N, kappa, W, interval_phi, interval_n,
                    jax.ShapeDtypeStruct((B, 8, 128), jnp.float32)),
         interpret=interpret,
     )(jnp.asarray(seed, jnp.int32).reshape(1), phi, n)
-    return out_phi, out_n, acc[:, 0, 0]
+    inline = {'ActionDensity': acc[:, 1, 0] / sweeps,
+              'WindingSquared': acc[:, 2, 0] / sweeps}
+    return out_phi, out_n, acc[:, 0, 0], inline

@@ -249,3 +249,39 @@ def test_lattice_hashable_and_equal():
     assert Lattice(2, 5) == Lattice(2, 5)
     assert hash(Lattice(2, 5)) == hash(Lattice(2, 5))
     assert Lattice(2, 5) != Lattice(3, 5)
+
+
+@pytest.mark.parametrize('D,N', [(2, 4), (2, 5), (3, 3)])
+def test_sparse_operators_match_dense(D, N, rng):
+    """delta_sparse/d_sparse/coface_sum_at/face_sum_at equal the dense operators
+    applied to the equivalent sparse form (the reference's bit-exact guarantee)."""
+    from supervillain_tpu.ops import delta_sparse, d_sparse, coface_sum_at, face_sum_at
+    L = Lattice(D, N)
+    color = L.checkerboarding[0]
+    from math import comb
+    # delta_sparse on a 2-form component
+    comp = rng.integers(0, comb(D, 2))
+    vals = rng.integers(-3, 4, len(color[0]))
+    dense_t = np.zeros(L.form_shape(2), dtype=int)
+    dense_t[(comp,) + tuple(color)] = vals
+    want = np.asarray(delta(L, 2, jnp.asarray(dense_t)))
+    got = np.asarray(delta_sparse(L, 2, comp, color, vals))
+    assert (got == want).all()
+    # accumulate into out
+    out = np.ones(L.form_shape(1))
+    delta_sparse(L, 2, comp, color, vals, out=out)
+    assert np.allclose(out, 1 + want)
+    # d_sparse on a 0-form
+    vals0 = rng.integers(-3, 4, len(color[0]))
+    dense_z = np.zeros(L.form_shape(0), dtype=int)
+    dense_z[(0,) + tuple(color)] = vals0
+    assert (np.asarray(d_sparse(L, 0, 0, color, vals0))
+            == np.asarray(d(L, 0, jnp.asarray(dense_z)))).all()
+    # gather variants
+    f1 = jnp.asarray(rng.integers(-3, 4, L.form_shape(1)))
+    co = np.asarray(coface_sum(L, 1, f1))
+    assert (np.asarray(coface_sum_at(L, 1, f1, comp, color))
+            == co[(comp,) + tuple(color)]).all()
+    fa = np.asarray(face_sum(L, 1, f1))
+    assert (np.asarray(face_sum_at(L, 1, f1, 0, color))
+            == fa[(0,) + tuple(color)]).all()

@@ -33,3 +33,13 @@ def test_fused_matches_xla_distribution_cpu():
     ma, ea = ba.estimate('ActionDensity')
     mb, eb = bb.estimate('ActionDensity')
     assert abs(ma - mb) / np.hypot(ea, eb) < 5
+
+
+def test_worldline_fused_falls_back_on_cpu():
+    from supervillain_tpu.generators import FusedWorldlineUpdate
+    S = sv.Worldline(sv.Lattice2D(4), 0.5, W=2)
+    G = FusedWorldlineUpdate(S, sweeps_per_step=2)
+    assert G._fallback is not None
+    e = sv.Ensemble(S).generate(8, G, seed=9)
+    for i in range(8):
+        assert S.valid({'m': e.m[i]})

@@ -25,10 +25,10 @@ def test_fused_kernel_statistics():
     phi = jnp.zeros((B, 1, N, N), jnp.float32)
     n = jnp.zeros((B, 2, N, N), jnp.int32)
     # Thermalize, then measure.
-    phi, n, _ = neighborhood_sweeps(jnp.int32(3), phi, n, N=N, kappa=kappa, W=1,
-                                    interval_phi=float(np.pi), interval_n=1, sweeps=200)
-    phi, n, acc = neighborhood_sweeps(jnp.int32(4), phi, n, N=N, kappa=kappa, W=1,
-                                      interval_phi=float(np.pi), interval_n=1, sweeps=100)
+    phi, n, _, _ = neighborhood_sweeps(jnp.int32(3), phi, n, N=N, kappa=kappa, W=1,
+                                       interval_phi=float(np.pi), interval_n=1, sweeps=200)
+    phi, n, acc, inline = neighborhood_sweeps(jnp.int32(4), phi, n, N=N, kappa=kappa, W=1,
+                                              interval_phi=float(np.pi), interval_n=1, sweeps=100)
     for b in range(0, B, 16):
         assert S.valid({'n': np.asarray(n[b])})
     pallas_S = np.array([float(S(phi[b], n[b])) / L.sites for b in range(B)])
@@ -56,5 +56,51 @@ def test_fused_kernel_statistics():
 
     ma, ea = pallas_S.mean(), pallas_S.std() / np.sqrt(B)
     mb, eb = xla_S.mean(), xla_S.std() / np.sqrt(B)
+    pull = abs(ma - mb) / np.hypot(ea, eb)
+    assert pull < 5, f'pallas {ma}({ea}) vs xla {mb}({eb}): pull {pull}'
+
+
+@requires_tpu
+def test_worldline_fused_kernel_statistics():
+    from supervillain_tpu.ops.pallas_worldline import worldline_sweeps
+    N, B = 128, 32
+    kappa = 0.5
+    L = sv.Lattice2D(N)
+    S = sv.Worldline(L, kappa, W=2)
+
+    m = jnp.zeros((B, 2, N, N), jnp.int32)
+    v = jnp.zeros((B, 1, N, N), jnp.int32)
+    m, v, _ = worldline_sweeps(jnp.int32(3), m, v, N=N, kappa=kappa, W=2, sweeps=100)
+    m, v, acc = worldline_sweeps(jnp.int32(4), m, v, N=N, kappa=kappa, W=2, sweeps=50)
+    for b in range(0, B, 8):
+        assert S.valid({'m': np.asarray(m[b])})
+    pallas_L2 = np.array([float(jnp.sum(S.links(m[b], v[b]) ** 2)) / L.links
+                          for b in range(B)])
+
+    # XLA local-update stack, same workload.
+    from supervillain_tpu.generators import worldline as gw
+    from supervillain_tpu.generators import Sequentially
+    G = Sequentially((gw.VortexUpdate(S), gw.CoexactUpdate(S), gw.WrappingUpdate(S)))
+    def one(k, c, s):
+        c, s, _ = G.step(k, c, s)
+        return c, s
+    cfgs = {'m': jnp.zeros((B, 2, N, N), jnp.int32),
+            'v': jnp.zeros((B, 1, N, N), jnp.int32)}
+    stats = jax.tree.map(lambda x: jnp.broadcast_to(x, (B,) + x.shape).astype(jnp.float32),
+                         G.init_stats())
+    @jax.jit
+    def steps(key, cfgs, stats):
+        def body(carry, k):
+            cfgs, stats = carry
+            keys = jax.vmap(lambda i: jax.random.fold_in(k, i))(jnp.arange(B))
+            return jax.vmap(one)(keys, cfgs, stats), None
+        (cfgs, stats), _ = jax.lax.scan(body, (cfgs, stats), jax.random.split(key, 150))
+        return cfgs, stats
+    cfgs, stats = steps(jax.random.key(0), cfgs, stats)
+    xla_L2 = np.array([float(jnp.sum(S.links(cfgs['m'][b], cfgs['v'][b]) ** 2)) / L.links
+                       for b in range(B)])
+
+    ma, ea = pallas_L2.mean(), pallas_L2.std() / np.sqrt(B)
+    mb, eb = xla_L2.mean(), xla_L2.std() / np.sqrt(B)
     pull = abs(ma - mb) / np.hypot(ea, eb)
     assert pull < 5, f'pallas {ma}({ea}) vs xla {mb}({eb}): pull {pull}'
