@@ -27,6 +27,10 @@ def _pallas_supported(action):
         return False
     if action.W == float('inf'):
         return False
+    # Below ~128 sites per side the per-program loop overhead dominates and the
+    # XLA path is at least as fast (see docs/design.md).
+    if action.Lattice.N < 128:
+        return False
     return jax.default_backend() not in ('cpu',)
 
 

@@ -47,24 +47,52 @@ def _roll(x, shift, axis):
     return pltpu.roll(x, shift % x.shape[axis], axis=axis)
 
 
-def _make_kernel(N, kappa, W, interval_phi, interval_n, sweeps):
+def _make_kernel(N, kappa, W, interval_phi, interval_n, sweeps, C0=1, C1=1):
+    """C0/C1 > 1 pack a (C0, C1) tile of chains into one program's block — C0 along
+    sublanes, C1 along lanes, each chain an N×N segment — so small lattices still
+    fill the vector registers AND amortize the per-program fixed cost.  Rolls wrap
+    within each chain's segment (full roll + wrap-roll selected at segment edges)."""
     kappa = np.float32(kappa)
     interval_phi = np.float32(interval_phi)
+    C = C0 * C1
+    shape = (C0 * N, C1 * N)
 
     def kernel(seed_ref, phi_ref, n_ref, phi_out, n_out, acc_out):
         chain = pl.program_id(0)
         pltpu.prng_seed(seed_ref[0] + chain * np.int32(2654435761 & 0x7FFFFFFF))
 
-        it = jax.lax.broadcasted_iota(jnp.int32, (N, N), 0)
-        ix = jax.lax.broadcasted_iota(jnp.int32, (N, N), 1)
+        row = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+        lane = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+        it = row % N
+        ix = lane % N
         parity = (it + ix) % 2
+
+        def _segment_roll(x, shift, axis, within):
+            full = _roll(x, shift, axis)
+            wrap = _roll(x, shift - np.sign(shift) * N, axis)
+            edge = (within == (N - 1)) if shift < 0 else (within == 0)
+            return jnp.where(edge, wrap, full)
+
+        if C1 == 1:
+            def _rx(x, shift):
+                return _roll(x, shift, 1)
+        else:
+            def _rx(x, shift):
+                return _segment_roll(x, shift, 1, ix)
+
+        if C0 == 1:
+            def _rt(x, shift):
+                return _roll(x, shift, 0)
+        else:
+            def _rt(x, shift):
+                return _segment_roll(x, shift, 0, it)
 
         phi = phi_ref[0, 0]
         n0 = n_ref[0, 0]
         n1 = n_ref[0, 1]
         # Residual r_mu = (dφ)_mu − 2π n_mu, maintained in VMEM across all sweeps.
-        r0 = (_roll(phi, -1, 0) - phi) - TWO_PI * n0.astype(jnp.float32)
-        r1 = (_roll(phi, -1, 1) - phi) - TWO_PI * n1.astype(jnp.float32)
+        r0 = (_rt(phi, -1) - phi) - TWO_PI * n0.astype(jnp.float32)
+        r1 = (_rx(phi, -1) - phi) - TWO_PI * n1.astype(jnp.float32)
 
         def color_pass(color, state):
             # Boolean vectors cannot be rotated by Mosaic; keep masks as i32/f32.
@@ -72,32 +100,32 @@ def _make_kernel(N, kappa, W, interval_phi, interval_n, sweeps):
             imask = jnp.where(parity == color, 1, 0)
             fmask = imask.astype(jnp.float32)
 
-            dphi = (2.0 * _uniform((N, N)) - 1.0) * interval_phi * fmask
-            fwd0 = (W * _int_in((N, N), interval_n)) * imask
-            fwd1 = (W * _int_in((N, N), interval_n)) * imask
-            bwd0 = (W * _int_in((N, N), interval_n)) * _roll(imask, -1, 0)
-            bwd1 = (W * _int_in((N, N), interval_n)) * _roll(imask, -1, 1)
+            dphi = (2.0 * _uniform(shape) - 1.0) * interval_phi * fmask
+            fwd0 = (W * _int_in(shape, interval_n)) * imask
+            fwd1 = (W * _int_in(shape, interval_n)) * imask
+            bwd0 = (W * _int_in(shape, interval_n)) * _rt(imask, -1)
+            bwd1 = (W * _int_in(shape, interval_n)) * _rx(imask, -1)
             cn0 = fwd0 + bwd0
             cn1 = fwd1 + bwd1
 
-            cr0 = (_roll(dphi, -1, 0) - dphi) - TWO_PI * cn0.astype(jnp.float32)
-            cr1 = (_roll(dphi, -1, 1) - dphi) - TWO_PI * cn1.astype(jnp.float32)
+            cr0 = (_rt(dphi, -1) - dphi) - TWO_PI * cn0.astype(jnp.float32)
+            cr1 = (_rx(dphi, -1) - dphi) - TWO_PI * cn1.astype(jnp.float32)
             t0 = (kappa / 2) * cr0 * (2.0 * r0 + cr0)
             t1 = (kappa / 2) * cr1 * (2.0 * r1 + cr1)
-            dS = t0 + t1 + _roll(t0, 1, 0) + _roll(t1, 1, 1)
+            dS = t0 + t1 + _rt(t0, 1) + _rx(t1, 1)
 
-            accept = jnp.where(_uniform((N, N)) < jnp.exp(-dS), 1, 0) * imask
+            accept = jnp.where(_uniform(shape) < jnp.exp(-dS), 1, 0) * imask
             facc = accept.astype(jnp.float32)
 
             a_phi = dphi * facc
-            a_n0 = fwd0 * accept + bwd0 * _roll(accept, -1, 0)
-            a_n1 = fwd1 * accept + bwd1 * _roll(accept, -1, 1)
+            a_n0 = fwd0 * accept + bwd0 * _rt(accept, -1)
+            a_n1 = fwd1 * accept + bwd1 * _rx(accept, -1)
 
             phi = phi + a_phi
             n0 = n0 + a_n0
             n1 = n1 + a_n1
-            r0 = r0 + (_roll(a_phi, -1, 0) - a_phi) - TWO_PI * a_n0.astype(jnp.float32)
-            r1 = r1 + (_roll(a_phi, -1, 1) - a_phi) - TWO_PI * a_n1.astype(jnp.float32)
+            r0 = r0 + (_rt(a_phi, -1) - a_phi) - TWO_PI * a_n0.astype(jnp.float32)
+            r1 = r1 + (_rx(a_phi, -1) - a_phi) - TWO_PI * a_n1.astype(jnp.float32)
             acc = acc + jnp.sum(facc)
             return phi, n0, n1, r0, r1, acc
 
@@ -108,10 +136,10 @@ def _make_kernel(N, kappa, W, interval_phi, interval_n, sweeps):
             # Inline observables, measured once per sweep while the residuals are
             # hot in VMEM: action density (κ/2)Σr²/Λ and the mean squared
             # plaquette winding (dn)² with dn = Δ_0 n_1 − Δ_1 n_0.
-            sS = sS + (kappa / 2) * (jnp.sum(r0 * r0) + jnp.sum(r1 * r1)) * np.float32(1.0 / (N * N))
-            dn = (_roll(n1, -1, 0) - n1) - (_roll(n0, -1, 1) - n0)
+            sS = sS + (kappa / 2) * (jnp.sum(r0 * r0) + jnp.sum(r1 * r1)) * np.float32(1.0 / (C * N * N))
+            dn = (_rt(n1, -1) - n1) - (_rx(n0, -1) - n0)
             dnf = dn.astype(jnp.float32)
-            sw2 = sw2 + jnp.sum(dnf * dnf) * np.float32(1.0 / (N * N))
+            sw2 = sw2 + jnp.sum(dnf * dnf) * np.float32(1.0 / (C * N * N))
             return phi, n0, n1, r0, r1, acc, sS, sw2
 
         phi, n0, n1, r0, r1, acc, sS, sw2 = jax.lax.fori_loop(
@@ -132,9 +160,9 @@ def _make_kernel(N, kappa, W, interval_phi, interval_n, sweeps):
 
 
 @partial(jax.jit, static_argnames=('N', 'kappa', 'W', 'interval_phi', 'interval_n',
-                                   'sweeps', 'interpret'))
+                                   'sweeps', 'chains_per_program', 'interpret'))
 def neighborhood_sweeps(seed, phi, n, *, N, kappa, W, interval_phi, interval_n,
-                        sweeps, interpret=False):
+                        sweeps, chains_per_program=1, interpret=False):
     """Run ``sweeps`` fused neighborhood sweeps on a chain batch.
 
     Parameters
@@ -145,26 +173,56 @@ def neighborhood_sweeps(seed, phi, n, *, N, kappa, W, interval_phi, interval_n,
 
     Returns
     -------
-    (phi, n, accepted, inline): updated fields, per-chain accepted counts (B,),
-    and per-chain inline observables averaged over the launch's sweeps:
-    ``{'ActionDensity': (B,), 'WindingSquared': (B,)}``.
+    (phi, n, accepted, inline): updated fields, per-program accepted counts (G,),
+    and per-program inline observables averaged over the launch's sweeps (and over
+    the program's chains): ``{'ActionDensity': (G,), 'WindingSquared': (G,)}``.
+    G = B / chains_per_program; with the default packing of 1 these are per-chain.
+
+    ``chains_per_program`` > 1 packs that many chains side-by-side along the lane
+    axis so small lattices (N < 128) still fill the vector registers.
     """
     B = phi.shape[0]
-    kernel = _make_kernel(N, kappa, W, interval_phi, interval_n, sweeps)
-    grid = (B,)
-    phi_spec = pl.BlockSpec((1, 1, N, N), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM)
-    n_spec = pl.BlockSpec((1, 2, N, N), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM)
+    C = chains_per_program
+    if B % C != 0:
+        raise ValueError(f'{B} chains not divisible by chains_per_program={C}')
+    G = B // C
+    # Split the packing tile: fill the 128 lanes first, put the rest on sublanes.
+    C1 = min(C, max(1, 128 // N))
+    while C % C1 != 0:
+        C1 -= 1
+    C0 = C // C1
+    R, CN = C0 * N, C1 * N
+
+    def pack(x):
+        k = x.shape[1]
+        return (x.reshape(G, C0, C1, k, N, N).transpose(0, 3, 1, 4, 2, 5)
+                .reshape(G, k, R, CN))
+
+    def unpack(x):
+        k = x.shape[1]
+        return (x.reshape(G, k, C0, N, C1, N).transpose(0, 2, 4, 1, 3, 5)
+                .reshape(B, k, N, N))
+
+    phi_p = pack(phi) if C > 1 else phi
+    n_p = pack(n) if C > 1 else n
+
+    kernel = _make_kernel(N, kappa, W, interval_phi, interval_n, sweeps, C0=C0, C1=C1)
+    phi_spec = pl.BlockSpec((1, 1, R, CN), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM)
+    n_spec = pl.BlockSpec((1, 2, R, CN), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM)
     out_phi, out_n, acc = pl.pallas_call(
         kernel,
-        grid=grid,
+        grid=(G,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM), phi_spec, n_spec],
         out_specs=(phi_spec, n_spec,
                    pl.BlockSpec((1, 8, 128), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)),
-        out_shape=(jax.ShapeDtypeStruct(phi.shape, jnp.float32),
-                   jax.ShapeDtypeStruct(n.shape, jnp.int32),
-                   jax.ShapeDtypeStruct((B, 8, 128), jnp.float32)),
+        out_shape=(jax.ShapeDtypeStruct(phi_p.shape, jnp.float32),
+                   jax.ShapeDtypeStruct(n_p.shape, jnp.int32),
+                   jax.ShapeDtypeStruct((G, 8, 128), jnp.float32)),
         interpret=interpret,
-    )(jnp.asarray(seed, jnp.int32).reshape(1), phi, n)
+    )(jnp.asarray(seed, jnp.int32).reshape(1), phi_p, n_p)
+    if C > 1:
+        out_phi = unpack(out_phi)
+        out_n = unpack(out_n)
     inline = {'ActionDensity': acc[:, 1, 0] / sweeps,
               'WindingSquared': acc[:, 2, 0] / sweeps}
     return out_phi, out_n, acc[:, 0, 0], inline
