@@ -1,0 +1,64 @@
+"""CLI tooling tests (capability of /root/reference/supervillain/cli/ exercised the
+way the reference's scripts use it)."""
+
+import argparse
+
+import pytest
+
+import supervillain_tpu as sv
+from supervillain_tpu import cli
+
+
+@pytest.mark.parametrize('text,expected', [
+    ('1', 1), ('3', 3), ('inf', float('inf')), ('Inf', float('inf')),
+    ('infinity', float('inf')), ('∞', float('inf')),
+])
+def test_W_parser(text, expected):
+    assert cli.W(text) == expected
+
+
+@pytest.mark.parametrize('bad', ['0', '-2'])
+def test_W_parser_rejects_nonpositive(bad):
+    with pytest.raises(argparse.ArgumentTypeError):
+        cli.W(bad)
+
+
+def test_W_parser_rejects_garbage():
+    with pytest.raises(ValueError):
+        cli.W('banana')
+
+
+def test_argument_parser_default_flags():
+    parser = cli.ArgumentParser(description='test')
+    parser.add_argument('--N', type=int, default=5)
+    args = parser.parse_args(['--N', '7', '--log-level', 'INFO'])
+    assert args.N == 7
+    assert args.log_level == 'INFO'
+
+
+@pytest.mark.parametrize('flag', ['--version', '--copyright', '--license'])
+def test_metadata_flags_print_and_exit(flag, capsys):
+    parser = cli.ArgumentParser(description='test')
+    with pytest.raises(SystemExit):
+        parser.parse_args([flag])
+    assert capsys.readouterr().out.strip()
+
+
+def test_input_file_loads_module(tmp_path):
+    path = tmp_path / 'config.py'
+    path.write_text('import supervillain_tpu as sv\n'
+                    'L = sv.Lattice2D(4)\n'
+                    'S = sv.Villain(L, 0.5, W=1)\n')
+    module = cli.input_file(str(path))
+    assert module.L.N == 4
+    assert module.S.kappa == 0.5
+
+
+def test_main_banner():
+    import subprocess
+    import sys
+    out = subprocess.run(
+        [sys.executable, '-m', 'supervillain_tpu', '--version'],
+        capture_output=True, text=True, timeout=120)
+    assert out.returncode == 0
+    assert sv.meta.version in out.stdout
