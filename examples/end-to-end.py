@@ -3,6 +3,16 @@
 with Plaquette+Wrapping), measure → autocorrelation → cut/every → bootstrap (the
 workload of /root/reference/test/end-to-end.py)."""
 
+# Allow running this script directly from anywhere: put the repo root (the
+# directory containing the supervillain_tpu package) on sys.path.
+import pathlib as _pathlib
+import sys as _sys
+for _p in _pathlib.Path(__file__).resolve().parents:
+    if (_p / 'supervillain_tpu').is_dir():
+        if str(_p) not in _sys.path:
+            _sys.path.insert(0, str(_p))
+        break
+
 from tqdm import tqdm
 
 import supervillain_tpu as sv

@@ -3,6 +3,16 @@
 match the Worldline Vortex_Vortex correlator under duality (the workload of
 /root/reference/example/no-vortices.py), with HDF5 caching of the bootstraps."""
 
+# Allow running this script directly from anywhere: put the repo root (the
+# directory containing the supervillain_tpu package) on sys.path.
+import pathlib as _pathlib
+import sys as _sys
+for _p in _pathlib.Path(__file__).resolve().parents:
+    if (_p / 'supervillain_tpu').is_dir():
+        if str(_p) not in _sys.path:
+            _sys.path.insert(0, str(_p))
+        break
+
 import numpy as np
 import h5py
 from tqdm import tqdm
