@@ -14,7 +14,7 @@ from supervillain_tpu.ops import (
 )
 from supervillain_tpu.ops import oracle as orc
 
-GEOMETRIES = [(2, 3), (2, 4), (2, 5), (3, 3), (3, 4), (4, 3)]
+GEOMETRIES = [(2, 3), (2, 4), (2, 5), (3, 3), (3, 4), (4, 3), (5, 3)]
 
 
 def random_form(rng, L, p, integer=False):
