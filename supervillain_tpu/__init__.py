@@ -29,5 +29,7 @@ from . import io
 from . import cli
 from . import parallel
 
+from .observables import derived_registry as derivedQuantities  # noqa: N812 — reference-compatible name
+
 #: reference-compatible name: dict of all primary observables
 observables = observables_registry

@@ -70,6 +70,8 @@ class Configurations:
         return len(next(iter(self.fields.values())))
 
     def __getitem__(self, index):
+        if isinstance(index, str):
+            return self.fields[index]
         if isinstance(index, (int, np.integer)):
             return {k: v[index] for k, v in self.fields.items()}
         return Configurations({k: v[index] for k, v in self.fields.items()})

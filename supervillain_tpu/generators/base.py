@@ -32,6 +32,18 @@ def uniform_int_with_zero(key, shape, interval, dtype=jnp.int32):
     return jax.random.randint(key, shape, -interval, interval + 1).astype(dtype)
 
 
+def zero_inflated_int(key, shape, interval, p, dtype=jnp.int32):
+    """Symmetric sparse proposal: ±k with k uniform in {1..interval}, each sign with
+    probability p/2; zero otherwise.  P(+k) = P(−k) for every k, so any Metropolis
+    update built on it satisfies detailed balance; p tunes how often the expensive
+    (rarely accepted at large κ) integer moves are attempted at all."""
+    ku, km = jax.random.split(key)
+    u = jax.random.uniform(ku, shape)
+    mag = jax.random.randint(km, shape, 1, interval + 1)
+    sign = jnp.where(u < p / 2, 1, 0) - jnp.where((u >= p / 2) & (u < p), 1, 0)
+    return (sign * mag).astype(dtype)
+
+
 def metropolis(key, dS, shape):
     """Metropolis test: accept mask and clipped acceptance probability."""
     acceptance = jnp.clip(jnp.exp(-dS), max=1.0)

@@ -24,7 +24,8 @@ import jax.numpy as jnp
 from ..ops import Lattice
 from ..ops import calculus as calc
 from ..models import Villain
-from .base import Generator, uniform_nonzero_int, uniform_int_with_zero, metropolis
+from .base import (Generator, uniform_nonzero_int, uniform_int_with_zero,
+                   zero_inflated_int, metropolis)
 from .combining import Sequentially, KeepEvery
 
 TWO_PI = 2 * np.pi
@@ -212,7 +213,14 @@ class NeighborhoodUpdate(Generator):
     name = 'NeighborhoodUpdate'
     fields = ('phi', 'n')
 
-    def __init__(self, action, interval_phi=np.pi, interval_n=1):
+    def __init__(self, action, interval_phi=np.pi, interval_n=1, p_n=None):
+        """``p_n``: probability that each adjacent link proposes a nonzero Δn
+        (zero-inflated symmetric proposal).  ``None`` (the default, the reference's
+        scheme) draws Δn uniformly over W·{-interval_n..interval_n}, i.e. nonzero
+        with probability 2i/(2i+1); at large κ those moves are almost always
+        rejected, so a small p_n (~0.05) raises the acceptance — and the mixing
+        rate — by an order of magnitude on big lattices while remaining an exact
+        Metropolis kernel (the proposal stays symmetric)."""
         _require_villain(action)
         if action.W == float('inf'):
             raise ValueError('NeighborhoodUpdate offers Δn in multiples of W; undefined at W=inf.')
@@ -220,6 +228,7 @@ class NeighborhoodUpdate(Generator):
         self.Lattice = action.Lattice
         self.interval_phi = float(interval_phi)
         self.interval_n = int(interval_n)
+        self.p_n = None if p_n is None else float(p_n)
 
     def step(self, key, cfg, stats):
         S, L = self.Action, self.Lattice
@@ -239,8 +248,12 @@ class NeighborhoodUpdate(Generator):
             change_phi = jnp.where(mask, prop, 0)[None]
 
             # Forward link (mu, x) and backward link (mu, x - e_mu) per color site.
-            fwd = S.W * uniform_int_with_zero(kn, (L.D,) + L.dims, self.interval_n, dtype=n.dtype)
-            bwd = S.W * uniform_int_with_zero(kb, (L.D,) + L.dims, self.interval_n, dtype=n.dtype)
+            if self.p_n is None:
+                fwd = S.W * uniform_int_with_zero(kn, (L.D,) + L.dims, self.interval_n, dtype=n.dtype)
+                bwd = S.W * uniform_int_with_zero(kb, (L.D,) + L.dims, self.interval_n, dtype=n.dtype)
+            else:
+                fwd = S.W * zero_inflated_int(kn, (L.D,) + L.dims, self.interval_n, self.p_n, dtype=n.dtype)
+                bwd = S.W * zero_inflated_int(kb, (L.D,) + L.dims, self.interval_n, self.p_n, dtype=n.dtype)
             fwd_parts = []
             bwd_parts = []
             for mu in range(L.D):

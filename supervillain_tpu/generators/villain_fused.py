@@ -38,7 +38,8 @@ class FusedNeighborhoodUpdate(Generator):
     name = 'NeighborhoodUpdate'  # same transition kernel; same stats tag
     fields = ('phi', 'n')
 
-    def __init__(self, action, interval_phi=np.pi, interval_n=1, sweeps_per_step=1):
+    def __init__(self, action, interval_phi=np.pi, interval_n=1, sweeps_per_step=1,
+                 p_n=None):
         if not isinstance(action, Villain):
             raise ValueError('Need a Villain action')
         self.Action = action
@@ -46,9 +47,10 @@ class FusedNeighborhoodUpdate(Generator):
         self.interval_phi = float(interval_phi)
         self.interval_n = int(interval_n)
         self.sweeps_per_step = int(sweeps_per_step)
+        self.p_n = None if p_n is None else float(p_n)
         self._fallback = None
         if not _pallas_supported(action):
-            self._fallback = NeighborhoodUpdate(action, interval_phi, interval_n)
+            self._fallback = NeighborhoodUpdate(action, interval_phi, interval_n, p_n=p_n)
 
     def inline_shapes(self):
         import jax.numpy as jnp
@@ -73,7 +75,7 @@ class FusedNeighborhoodUpdate(Generator):
         phi, n, accepted, inline = neighborhood_sweeps(
             seed, phi, n, N=L.N, kappa=S.kappa, W=int(S.W),
             interval_phi=self.interval_phi, interval_n=self.interval_n,
-            sweeps=self.sweeps_per_step)
+            sweeps=self.sweeps_per_step, p_n=self.p_n)
         stats = self._tally(
             stats,
             accepted[0],

@@ -42,12 +42,28 @@ def _int_in(shape, interval):
     return pltpu.bitcast(bits % np.uint32(2 * interval + 1), jnp.int32) - interval
 
 
+def _int_sparse(shape, interval, p):
+    """Zero-inflated symmetric integers: ±k (k uniform in 1..interval) each with
+    probability p/2, else 0 — same proposal as
+    :func:`supervillain_tpu.generators.base.zero_inflated_int`."""
+    u = _uniform(shape)
+    if interval == 1:
+        mag = jnp.ones(shape, jnp.int32)
+    else:
+        bits = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
+        mag = pltpu.bitcast(bits % np.uint32(interval), jnp.int32) + 1
+    half = np.float32(p / 2)
+    full = np.float32(p)
+    sign = jnp.where(u < half, 1, 0) - jnp.where((u >= half) & (u < full), 1, 0)
+    return sign * mag
+
+
 def _roll(x, shift, axis):
     # pltpu.roll requires a non-negative shift; normalize mod the axis length.
     return pltpu.roll(x, shift % x.shape[axis], axis=axis)
 
 
-def _make_kernel(N, kappa, W, interval_phi, interval_n, sweeps, C0=1, C1=1):
+def _make_kernel(N, kappa, W, interval_phi, interval_n, sweeps, C0=1, C1=1, p_n=None):
     """C0/C1 > 1 pack a (C0, C1) tile of chains into one program's block — C0 along
     sublanes, C1 along lanes, each chain an N×N segment — so small lattices still
     fill the vector registers AND amortize the per-program fixed cost.  Rolls wrap
@@ -101,10 +117,14 @@ def _make_kernel(N, kappa, W, interval_phi, interval_n, sweeps, C0=1, C1=1):
             fmask = imask.astype(jnp.float32)
 
             dphi = (2.0 * _uniform(shape) - 1.0) * interval_phi * fmask
-            fwd0 = (W * _int_in(shape, interval_n)) * imask
-            fwd1 = (W * _int_in(shape, interval_n)) * imask
-            bwd0 = (W * _int_in(shape, interval_n)) * _rt(imask, -1)
-            bwd1 = (W * _int_in(shape, interval_n)) * _rx(imask, -1)
+            if p_n is None:
+                draw = lambda: _int_in(shape, interval_n)
+            else:
+                draw = lambda: _int_sparse(shape, interval_n, p_n)
+            fwd0 = (W * draw()) * imask
+            fwd1 = (W * draw()) * imask
+            bwd0 = (W * draw()) * _rt(imask, -1)
+            bwd1 = (W * draw()) * _rx(imask, -1)
             cn0 = fwd0 + bwd0
             cn1 = fwd1 + bwd1
 
@@ -160,9 +180,9 @@ def _make_kernel(N, kappa, W, interval_phi, interval_n, sweeps, C0=1, C1=1):
 
 
 @partial(jax.jit, static_argnames=('N', 'kappa', 'W', 'interval_phi', 'interval_n',
-                                   'sweeps', 'chains_per_program', 'interpret'))
+                                   'sweeps', 'chains_per_program', 'interpret', 'p_n'))
 def neighborhood_sweeps(seed, phi, n, *, N, kappa, W, interval_phi, interval_n,
-                        sweeps, chains_per_program=1, interpret=False):
+                        sweeps, chains_per_program=1, interpret=False, p_n=None):
     """Run ``sweeps`` fused neighborhood sweeps on a chain batch.
 
     Parameters
@@ -206,7 +226,7 @@ def neighborhood_sweeps(seed, phi, n, *, N, kappa, W, interval_phi, interval_n,
     phi_p = pack(phi) if C > 1 else phi
     n_p = pack(n) if C > 1 else n
 
-    kernel = _make_kernel(N, kappa, W, interval_phi, interval_n, sweeps, C0=C0, C1=C1)
+    kernel = _make_kernel(N, kappa, W, interval_phi, interval_n, sweeps, C0=C0, C1=C1, p_n=p_n)
     phi_spec = pl.BlockSpec((1, 1, R, CN), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM)
     n_spec = pl.BlockSpec((1, 2, R, CN), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM)
     out_phi, out_n, acc = pl.pallas_call(

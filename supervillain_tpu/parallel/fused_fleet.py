@@ -21,8 +21,8 @@ from .fleet import Fleet
 
 
 def sample_fused_fleet(action, *, chains, steps, thin=10, seed=0,
-                       interval_phi=np.pi, interval_n=1, chains_per_program=None,
-                       keep_fields=False, progress=None):
+                       interval_phi=np.pi, interval_n=1, p_n=None,
+                       chains_per_program=None, keep_fields=False, progress=None):
     """Sample ``chains`` Villain chains for ``steps`` kept records, each separated
     by ``thin`` fused sweeps.
 
@@ -47,6 +47,7 @@ def sample_fused_fleet(action, *, chains, steps, thin=10, seed=0,
             jnp.int32(rng.integers(0, 2 ** 31 - 1)), phi, n,
             N=N, kappa=action.kappa, W=int(action.W),
             interval_phi=float(interval_phi), interval_n=int(interval_n),
+            p_n=None if p_n is None else float(p_n),
             sweeps=thin, chains_per_program=chains_per_program)
         record = {k: np.asarray(v) for k, v in inline.items()}
         if keep_fields:

@@ -89,3 +89,13 @@ def test_bootstrap_plot_band_and_correlator(small_ensemble):
     boot.plot_band(ax[0], 'ActionDensity', color='C0')
     boot.plot_correlator(ax[1], 'Spin_Spin')
     plt.close(fig)
+
+
+def test_configurations_string_and_slice_indexing():
+    import numpy as np
+    from supervillain_tpu.configurations import Configurations
+    c = Configurations({'phi': np.arange(12.).reshape(3, 4),
+                        'n': np.arange(12).reshape(3, 4)})
+    assert (c['phi'] == c.phi).all()           # dict-style column access
+    assert set(c[0]) == {'phi', 'n'}           # integer -> one configuration dict
+    assert len(c[1:]) == 2                     # slice -> Configurations

@@ -104,3 +104,53 @@ def test_worldline_fused_kernel_statistics():
     mb, eb = xla_L2.mean(), xla_L2.std() / np.sqrt(B)
     pull = abs(ma - mb) / np.hypot(ea, eb)
     assert pull < 5, f'pallas {ma}({ea}) vs xla {mb}({eb}): pull {pull}'
+
+
+@requires_tpu
+def test_fused_kernel_statistics_zero_inflated():
+    """The zero-inflated (p_n) proposal at kappa=0.5: both paths thermalize (which
+    the uniform proposal cannot do in reasonable time at this coupling) and must
+    agree on the equilibrium action density across independent chains."""
+    from supervillain_tpu.ops.pallas_sweep import neighborhood_sweeps
+    from supervillain_tpu.generators import villain as gv
+    N, B = 64, 64
+    kappa, p_n, iphi = 0.5, 0.05, 0.7
+    L = sv.Lattice2D(N)
+    S = sv.Villain(L, kappa, W=1)
+
+    phi = jnp.zeros((B, 1, N, N), jnp.float32)
+    n = jnp.zeros((B, 2, N, N), jnp.int32)
+    phi, n, _, _ = neighborhood_sweeps(jnp.int32(3), phi, n, N=N, kappa=kappa, W=1,
+                                       interval_phi=iphi, interval_n=1, sweeps=1500,
+                                       p_n=p_n)
+    phi, n, acc, _ = neighborhood_sweeps(jnp.int32(4), phi, n, N=N, kappa=kappa, W=1,
+                                         interval_phi=iphi, interval_n=1, sweeps=100,
+                                         p_n=p_n)
+    for b in range(0, B, 16):
+        assert S.valid({'n': np.asarray(n[b])})
+    assert float(jnp.sum(acc)) / (B * 100 * N * N) > 0.3  # healthy acceptance
+    pallas_S = np.array([float(S(phi[b], n[b])) / L.sites for b in range(B)])
+
+    G = gv.NeighborhoodUpdate(S, interval_phi=iphi, p_n=p_n)
+    def one(k, c, s):
+        c, s, _ = G.step(k, c, s)
+        return c, s
+    cfgs = {'phi': jnp.zeros((B, 1, N, N), jnp.float32),
+            'n': jnp.zeros((B, 2, N, N), jnp.int32)}
+    stats = jax.tree.map(lambda x: jnp.broadcast_to(x, (B,) + x.shape).astype(jnp.float32),
+                         G.init_stats())
+    @jax.jit
+    def steps(key, cfgs, stats):
+        def body(carry, k):
+            cfgs, stats = carry
+            keys = jax.vmap(lambda i: jax.random.fold_in(k, i))(jnp.arange(B))
+            return jax.vmap(one)(keys, cfgs, stats), None
+        (cfgs, stats), _ = jax.lax.scan(body, (cfgs, stats), jax.random.split(key, 1600))
+        return cfgs, stats
+    cfgs, stats = steps(jax.random.key(0), cfgs, stats)
+    xla_S = np.array([float(S(cfgs['phi'][b], cfgs['n'][b])) / L.sites for b in range(B)])
+
+    ma, ea = pallas_S.mean(), pallas_S.std() / np.sqrt(B)
+    mb, eb = xla_S.mean(), xla_S.std() / np.sqrt(B)
+    pull = abs(ma - mb) / np.hypot(ea, eb)
+    assert pull < 5, f'pallas {ma}({ea}) vs xla {mb}({eb}): pull {pull}'
