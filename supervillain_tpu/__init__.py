@@ -10,7 +10,8 @@ persistence.  Chains vmap/shard across TPU meshes.
 """
 
 from . import meta
-from .ops import Lattice, Lattice2D
+from .ops import Lattice, Lattice2D, Form
+from . import lattice  # reference-compatible alias (supervillain.lattice)
 from .ops import d, delta, face_sum, coface_sum, laplacian, star, wedge, push, pull
 
 from . import utils
@@ -26,6 +27,8 @@ from .observables import observables as observables_registry
 from . import analysis
 from .analysis import Blocking, Bootstrap, Uncertain
 from . import io
+from . import h5  # reference-compatible alias (supervillain.h5)
+from . import performance  # reference-compatible alias (supervillain.performance)
 from . import cli
 from . import parallel
 

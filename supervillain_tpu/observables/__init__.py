@@ -29,7 +29,7 @@ from .topological import (
 )
 
 from . import reference_implementation
-from .reference_implementation import Spin_SpinSlow, Vortex_VortexSlow
+from .reference_implementation import Spin_SpinSlow, Spin_SpinSloppy, Vortex_VortexSlow
 
 #: All primary observables (reference `supervillain.observables`).
 observables = registry

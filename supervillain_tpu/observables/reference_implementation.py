@@ -91,3 +91,34 @@ class Vortex_VortexSlow(Observable):
                 row.append(jnp.mean(jnp.stack(vals)))
             result.append(jnp.stack(row))
         return jnp.stack(result)
+
+
+class Spin_SpinSloppy(Observable):
+    r"""Single-overlay taxicab Spin_Spin (the role of
+    /root/reference/supervillain/observable/reference_implementation/spin.py:5-73):
+    the boson creation/destruction defect always sits at the absolute origin, with no
+    translation average — the same expectation value as :class:`~.spin.Spin_Spin` but
+    less juice per configuration (noisier).  The Villain branch is the full FFT
+    correlation, identical to the production measurement."""
+
+    sequential = True
+
+    @staticmethod
+    def Villain(S, phi):
+        L = S.Lattice
+        cdtype = jnp.complex128 if jnp.result_type(0.0) == jnp.float64 else jnp.complex64
+        spin = jnp.exp(1j * phi[0].astype(cdtype))
+        return L.correlation(spin, spin)
+
+    @staticmethod
+    def Worldline(S, Links):
+        L = S.Lattice
+        if L.D != 2:
+            raise NotImplementedError(
+                'The Worldline Spin_Spin taxicab measurement is only implemented for D=2.')
+        dirs, offs, signs, lengths = (jnp.asarray(t) for t in spin_tables(L.D, L.N))
+        # One overlay only: the path starts at the absolute origin, so the padded
+        # gather table's offsets ARE the link positions.
+        vals = Links[dirs, offs[..., 0], offs[..., 1]]        # (N, N, Lmax)
+        Pm = (signs * vals).sum(axis=-1)                      # (N, N)
+        return jnp.exp(-1 / (2 * S.kappa) * (2 * Pm + lengths.astype(Pm.dtype)))

@@ -1,4 +1,5 @@
 from .lattice import Lattice, Lattice2D, fft_coordinates
+from .form import Form
 from .calculus import (
     d, delta, face_sum, coface_sum, laplacian, star, wedge, push, pull, inner,
 )

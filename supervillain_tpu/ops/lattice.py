@@ -116,7 +116,16 @@ class Lattice:
     def zeros(self, p: int, dtype=jnp.float32):
         return jnp.zeros(self.form_shape(p), dtype=dtype)
 
-    form = zeros
+    def form(self, p: int, data=None, dtype=float):
+        """Host-tier :class:`~supervillain_tpu.ops.form.Form` of degree ``p``:
+        zeros by default, or wrapping ``data`` (reference convention,
+        /root/reference/supervillain/lattice/compact.py:280-300).  Device-tier
+        (plain ``jnp``) zeros come from :meth:`zeros`."""
+        from .form import Form
+        if data is None:
+            data = np.zeros(self.form_shape(p), dtype=dtype)
+            return Form(data, degree=p, lattice=self)
+        return Form(np.asarray(data), degree=p, lattice=self)
 
     def random(self, p: int, key=None, dtype=jnp.float32):
         """Uniform [0,1) p-form.  With a JAX ``key`` uses jax.random; without, NumPy."""

@@ -105,3 +105,39 @@ def test_villain_worm_slow_matches_statistically():
     es = ms.std() / np.sqrt(len(ms) / 8)
     pull = abs(mf.mean() - ms.mean()) / np.hypot(ef, es)
     assert pull < 5, f'fast {mf.mean()}({ef}) vs slow {ms.mean()}({es}): pull {pull}'
+
+
+def test_spin_spin_sloppy_villain_equals_fast(villain_ensemble):
+    # The Sloppy Villain branch is the same full correlation as the production one.
+    e = fresh(villain_ensemble, ('Spin_Spin',))
+    fast = np.asarray(e.Spin_Spin)
+    sloppy = np.asarray(e.Spin_SpinSloppy)
+    assert np.allclose(fast, sloppy, atol=1e-12)
+
+
+def test_spin_spin_sloppy_worldline_origin_and_mean(worldline_ensemble):
+    e = fresh(worldline_ensemble, ('Spin_Spin',))
+    sloppy = np.asarray(e.Spin_SpinSloppy)
+    # No defect at zero displacement: exactly 1 on every configuration.
+    assert np.allclose(sloppy[:, 0, 0], 1.0, atol=1e-12)
+    # Single-overlay estimator has the same expectation as the translation-averaged
+    # one; on the *same* configurations the Sloppy value is one of the terms the full
+    # estimator averages, so means agree within the (large) Sloppy variance.
+    full = np.asarray(e.Spin_Spin)
+    assert np.all(sloppy >= 0)
+    # all displacements: means within 5 sigma of each other
+    diff = sloppy.mean(axis=0) - full.mean(axis=0)
+    scale = sloppy.std(axis=0) / np.sqrt(sloppy.shape[0]) + 1e-12
+    assert np.all(np.abs(diff) < 5 * scale + 0.5), (diff, scale)
+
+
+def test_spin_spin_sloppy_zero_links_matches_slow():
+    # On the trivial configuration (m = 0, v = 0) every overlay gives the same value,
+    # so Sloppy == Slow == exp(-length/2kappa) exactly.
+    S = sv.Worldline(sv.Lattice2D(4), 0.7, W=2)
+    cfg = {k: np.asarray(v) for k, v in S.initial().items()}
+    cfgs = sv.Configurations({k: v[None] for k, v in cfg.items()})
+    e = sv.Ensemble(S).from_configurations(cfgs)
+    sloppy = np.asarray(e.Spin_SpinSloppy)[0]
+    slow = np.asarray(e.Spin_SpinSlow)[0]
+    assert np.allclose(sloppy, slow, atol=1e-6)
