@@ -1,21 +1,36 @@
 """Headline benchmark: site-updates/s/chip on the Villain NeighborhoodUpdate sweep
-(the reference's default end-to-end generator) at L=256, chain-batched.
+(the reference's default end-to-end generator), chain-batched, at L=64..1024.
 
 Prints ONE JSON line:
     {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...}
 
-``vs_baseline`` compares against a single-chain vectorized-NumPy implementation of
-the same checkerboarded sweep — the reference's execution model (NumPy array ops per
-color; see /root/reference/supervillain/generator/villain/neighborhood.py:59-137) —
-measured in the same process on this host's CPU.
+Timing methodology: because some TPU runtimes return from ``block_until_ready``
+at dispatch rather than completion, every timed region chains several launches
+through a data dependency (the previous launch's state feeds the next) and is
+gated on an actual host readback.  The first (untimed) launch absorbs
+compilation and thermalizes the state.
+
+``vs_baseline`` compares against a single-chain vectorized-NumPy implementation
+of the same checkerboarded sweep — the reference's execution model (NumPy array
+ops per color; /root/reference/supervillain/generator/villain/neighborhood.py:59-137)
+— measured in the same process on this host's CPU.
+
+Roofline context (see VALIDATION.md for the derivation): the fused kernel does
+~196 VPU element-ops per site-update and, at 50 sweeps/launch, ~0.5 B/su of HBM
+traffic — per-chip throughput is VPU-compute-bound, not HBM-bound, by design.
 """
 
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import numpy as np
+
+OPS_PER_SITE_UPDATE = 196          # VPU element-ops per su (kernel op count)
+V5E_VPU_PEAK = 8 * 128 * 4 * 0.94e9  # lanes × sublanes × ALUs × clock [op/s]
+V5E_HBM_BW = 8.1e11                # B/s
 
 
 def numpy_baseline_sweep(N, kappa, W, steps, rng):
@@ -62,6 +77,26 @@ def numpy_baseline_sweep(N, kappa, W, steps, rng):
     return time.perf_counter() - start
 
 
+def _fused_rate(jnp, fn, L, B, sweeps, reps, kappa, cpp=1):
+    """Honest su/s: warmup launch (compile + thermalize), then ``reps`` chained
+    launches gated on a host readback.  ``cpp`` packs chains per program so
+    small lattices still fill the 128 vector lanes."""
+    phi = jnp.zeros((B, 1, L, L), jnp.float32)
+    n = jnp.zeros((B, 2, L, L), jnp.int32)
+    phi, n, acc, _ = fn(jnp.int32(1), phi, n, N=L, kappa=kappa, W=1,
+                        interval_phi=float(np.pi), interval_n=1, sweeps=sweeps,
+                        chains_per_program=cpp)
+    float(acc.sum())
+    start = time.perf_counter()
+    for k in range(reps):
+        phi, n, acc, _ = fn(jnp.int32(2 + k), phi, n, N=L, kappa=kappa, W=1,
+                            interval_phi=float(np.pi), interval_n=1, sweeps=sweeps,
+                            chains_per_program=cpp)
+    float(acc.sum())
+    elapsed = time.perf_counter() - start
+    return reps * B * L * L * sweeps / elapsed, elapsed
+
+
 def main():
     import jax
     # Counter-based RBG keys are substantially cheaper than threefry on TPU.
@@ -70,53 +105,24 @@ def main():
     import supervillain_tpu as sv
     from supervillain_tpu.generators import villain as gv
 
-    import os
     N = 256
     kappa = 0.5
     chains = 128
-    timed_steps = 20
     on_tpu = jax.default_backend() not in ('cpu',)
-    full = os.environ.get('BENCH_FULL') == '1'
+    fast = os.environ.get('BENCH_FAST') == '1'
 
     if on_tpu:
-        # Headline path: the Pallas-fused sweep kernel (state stays in VMEM across
-        # all sweeps of a launch).
         from supervillain_tpu.ops.pallas_sweep import neighborhood_sweeps
-        sweeps = 50
-        phi = jnp.zeros((chains, 1, N, N), jnp.float32)
-        n = jnp.zeros((chains, 2, N, N), jnp.int32)
-        phi, n, acc, _ = neighborhood_sweeps(jnp.int32(1), phi, n, N=N, kappa=kappa,
-                                             W=1, interval_phi=float(np.pi),
-                                             interval_n=1, sweeps=sweeps)
-        float(acc.sum())  # warmup + thermalization
-        start = time.perf_counter()
-        phi, n, acc, _ = neighborhood_sweeps(jnp.int32(2), phi, n, N=N, kappa=kappa,
-                                             W=1, interval_phi=float(np.pi),
-                                             interval_n=1, sweeps=sweeps)
-        float(acc.sum())
-        elapsed = time.perf_counter() - start
-        rate = chains * N * N * sweeps / elapsed
+        rate, elapsed = _fused_rate(jnp, neighborhood_sweeps, N, chains,
+                                    sweeps=50, reps=3, kappa=kappa)
 
-        extra = {}
-        if full:
-            # Optional L sweep for the L=64..1024 scaling table (each size pays a
-            # fresh kernel compile through the remote tunnel).
-            for (Nx, Bx) in ((64, 512), (512, 32), (1024, 8)):
-                px = jnp.zeros((Bx, 1, Nx, Nx), jnp.float32)
-                nx = jnp.zeros((Bx, 2, Nx, Nx), jnp.int32)
-                px, nx, ax, _ = neighborhood_sweeps(jnp.int32(1), px, nx, N=Nx,
-                                                    kappa=kappa, W=1,
-                                                    interval_phi=float(np.pi),
-                                                    interval_n=1, sweeps=20)
-                float(ax.sum())
-                t0 = time.perf_counter()
-                px, nx, ax, _ = neighborhood_sweeps(jnp.int32(2), px, nx, N=Nx,
-                                                    kappa=kappa, W=1,
-                                                    interval_phi=float(np.pi),
-                                                    interval_n=1, sweeps=20)
-                float(ax.sum())
-                dt = time.perf_counter() - t0
-                extra[f'L={Nx}'] = Bx * Nx * Nx * 20 / dt
+        sweep_table = {}
+        if not fast:
+            for (Lx, Bx, cpp) in ((64, 512, 4), (512, 32, 1), (1024, 8, 1)):
+                rx, _ = _fused_rate(jnp, neighborhood_sweeps, Lx, Bx,
+                                    sweeps=50, reps=3, kappa=kappa, cpp=cpp)
+                sweep_table[f'L={Lx}'] = rx
+        sweep_table[f'L={N}'] = rate
 
         base_steps = 5
         base_elapsed = numpy_baseline_sweep(N, kappa, 1, base_steps, np.random.default_rng(0))
@@ -128,13 +134,22 @@ def main():
             'vs_baseline': rate / base_rate,
             'detail': {
                 'elapsed_s': elapsed,
-                'sweeps': sweeps,
+                'sweeps_per_launch': 50,
+                'timed_launches': 3,
                 'chains': chains,
                 'L': N,
                 'baseline_rate_numpy_1chain': base_rate,
                 'device': str(jax.devices()[0]),
-                'kernel': 'pallas_fused_vmem_resident',
-                'L_sweep_su_per_s': extra,
+                'kernel': 'pallas_fused_vmem_resident (strip-chunked for L>=512)',
+                'L_sweep_su_per_s': sweep_table,
+                'roofline': {
+                    'ops_per_su': OPS_PER_SITE_UPDATE,
+                    'achieved_op_per_s': rate * OPS_PER_SITE_UPDATE,
+                    'vpu_peak_op_per_s': V5E_VPU_PEAK,
+                    'vpu_fraction': rate * OPS_PER_SITE_UPDATE / V5E_VPU_PEAK,
+                    'hbm_bytes_per_su': 24.0 / 50,
+                    'hbm_fraction': rate * 24.0 / 50 / V5E_HBM_BW,
+                },
             },
         }))
         return
@@ -143,6 +158,7 @@ def main():
     S = sv.Villain(L, kappa, W=1)
     G = gv.NeighborhoodUpdate(S)
 
+    timed_steps = 20
     cfg0 = S.initial(float_dtype=jnp.float32, int_dtype=jnp.int32)
     cfgs = jax.tree.map(lambda x: jnp.broadcast_to(x, (chains,) + x.shape), cfg0)
     stats = jax.tree.map(lambda x: jnp.broadcast_to(x, (chains,) + x.shape).astype(jnp.float32),
@@ -161,12 +177,9 @@ def main():
             return (cfgs, stats), None
         keys = jax.random.split(key, timed_steps)
         (cfgs, stats), _ = jax.lax.scan(body, (cfgs, stats), keys)
-        # Reduce to scalars: fetching these forces the whole chain to complete
-        # (on some TPU runtimes block_until_ready returns at dispatch, not
-        # completion, so timing must gate on a host transfer).
+        # Reduce to scalars: fetching these forces the whole chain to complete.
         return jax.tree.map(lambda x: x.sum(), cfgs), stats
 
-    # Warm up (compile) and then time, gating on a host fetch.
     out, stats = fleet_steps(jax.random.key(0), cfgs, stats)
     float(out['phi'])
     start = time.perf_counter()
@@ -177,7 +190,6 @@ def main():
     site_updates = chains * L.sites * timed_steps
     rate = site_updates / elapsed
 
-    # NumPy single-chain baseline (the reference's execution model), short run.
     base_steps = 5
     base_elapsed = numpy_baseline_sweep(N, kappa, 1, base_steps, np.random.default_rng(0))
     base_rate = (L.sites * base_steps) / base_elapsed

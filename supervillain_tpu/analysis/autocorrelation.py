@@ -24,9 +24,15 @@ def autocorrelation(data, mean=None, _cutoff=1e-16):
         raise ValueError('The fluctuations are too small to reliably determine an autocorrelation.')
     C = C / C[0]
 
-    clamped = np.clip(C, 0, None)
-    minIdx = np.argmin(clamped)
-    return C, int(np.ceil(C[:minIdx].sum()))
+    # Integrate C(τ) to (excluding) the first non-positive value.  When C crosses
+    # zero this matches the reference's argmin-of-clamped truncation
+    # (/root/reference/supervillain/analysis/autocorrelation.py:64-66); when C
+    # stays positive throughout, the reference's argmin silently truncates at the
+    # *smallest positive* C — here we instead integrate the whole series, which
+    # is the conservative (larger-τ) choice.
+    nonpositive = np.nonzero(C <= 0)[0]
+    cut = int(nonpositive[0]) if nonpositive.size else len(C)
+    return C, int(np.ceil(C[:cut].sum()))
 
 
 def autocorrelation_time(data, mean=None):

@@ -5,7 +5,8 @@
 Metropolis test) but executes ``sweeps_per_step`` whole sweeps per call inside one
 Pallas TPU kernel, keeping the chain state in VMEM throughout
 (:mod:`supervillain_tpu.ops.pallas_sweep`).  ~10× the XLA path's throughput on a
-v5e chip at L=256.
+v5e chip; the fused envelope covers L = 128..1024+ (strip-chunked kernel above
+L=256).
 
 TPU-only (D=2, even N, W<∞): on other backends it falls back to the XLA
 NeighborhoodUpdate transparently.

@@ -12,6 +12,7 @@ works where reference code said ``import supervillain.h5``.
 
 from .io.h5 import (
     action_from_h5,
+    check_version,
     generator_spec,
     generator_from_spec,
     ensemble_to_h5,
@@ -20,6 +21,6 @@ from .io.h5 import (
 )
 
 __all__ = [
-    'action_from_h5', 'generator_spec', 'generator_from_spec',
+    'action_from_h5', 'check_version', 'generator_spec', 'generator_from_spec',
     'ensemble_to_h5', 'ensemble_from_h5', 'ensemble_extend_h5',
 ]

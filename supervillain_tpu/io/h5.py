@@ -20,12 +20,35 @@ pickled-``__dict__``:
 from __future__ import annotations
 
 import json
+import logging
 
 import numpy as np
 
 from .. import meta
 from ..models import Villain, Worldline
 from ..ops import Lattice
+
+logger = logging.getLogger(__name__)
+
+
+def check_version(group, strict=True):
+    """Compare a group's stored ``@version`` against the running package version.
+
+    Mirrors the reference's strict/lenient metadata check
+    (/root/reference/supervillain/h5/data.py:40-56): a mismatch raises
+    ``ValueError`` when ``strict`` and logs a warning otherwise.  Groups written
+    before versioning (no ``@version`` attr) pass silently, like the reference's
+    ``KeyError: pass`` branch.
+    """
+    stored = group.attrs.get('version')
+    if stored is None:
+        return
+    if stored != meta.version:
+        message = (f'Version mismatch for {group.name}: stored with '
+                   f'{stored!r} but currently use {meta.version!r}')
+        if strict:
+            raise ValueError(message)
+        logger.warning(message)
 
 
 # -- actions ---------------------------------------------------------------
@@ -46,11 +69,13 @@ _SPEC_ARGS = {
     'LinkUpdate': ('interval_n',),
     'ExactUpdate': ('interval_z',),
     'CohomologyUpdate': ('interval_h',),
-    'NeighborhoodUpdate': ('interval_phi', 'interval_n'),
+    'NeighborhoodUpdate': ('interval_phi', 'interval_n', 'p_n'),
+    'FusedNeighborhoodUpdate': ('interval_phi', 'interval_n', 'sweeps_per_step', 'p_n'),
     'VortexUpdate': ('interval_v',),
     'CoexactUpdate': ('interval_t',),
     'WrappingUpdate': ('interval_w',),
     'PlaquetteUpdate': (),
+    'FusedWorldlineUpdate': ('interval_v', 'interval_t', 'interval_w', 'sweeps_per_step'),
     'ClassicWorm': (),
     'DoNothing': (),
 }
@@ -83,7 +108,12 @@ def generator_from_spec(spec, action):
     if cls == 'KeepEvery':
         return KeepEvery(spec['n'], generator_from_spec(spec['generator'], action),
                          blocked_inline=spec['blocked_inline'])
-    family = {'base': gbase, 'villain': gvillain, 'worldline': gworldline}[spec['family']]
+    if spec['family'] in ('villain_fused', 'worldline_fused'):
+        from ..generators import villain_fused, worldline_fused
+        family = {'villain_fused': villain_fused,
+                  'worldline_fused': worldline_fused}[spec['family']]
+    else:
+        family = {'base': gbase, 'villain': gvillain, 'worldline': gworldline}[spec['family']]
     klass = getattr(family, cls)
     if cls == 'DoNothing':
         return klass()
@@ -158,10 +188,11 @@ def ensemble_to_h5(ensemble, group):
     return group
 
 
-def ensemble_from_h5(group):
+def ensemble_from_h5(group, strict=True):
     from ..ensemble import Ensemble
     from ..configurations import Configurations
 
+    check_version(group, strict=strict)
     action = action_from_h5(group['action'])
     e = Ensemble(action)
     e.configuration = Configurations({k: _read_column(group['configurations'][k])

@@ -41,6 +41,13 @@ def _unary(name, out_degree):
                 raise TypeError(
                     f'{name}(f) requires a Form (degree metadata); '
                     f'for plain arrays call {name}(lattice, p, f)')
+            # At the degree boundaries the reference returns scalar 0 rather
+            # than raising (d of a top form, δ of a 0-form;
+            # /root/reference/supervillain/lattice/compact.py:996-1000,1035-1039).
+            if name == 'd' and f.degree == f.lattice.D:
+                return 0
+            if name == 'delta' and f.degree == 0:
+                return 0
             out = np.asarray(base(f.lattice, f.degree, np.asarray(f)))
             return Form(out, degree=out_degree(f.lattice, f.degree), lattice=f.lattice)
         return base(*args)
@@ -66,6 +73,9 @@ def wedge(*args):
         if not (isinstance(a, Form) and isinstance(b, Form)):
             raise TypeError('wedge(a, b) requires Forms; '
                             'for plain arrays call wedge(lattice, pa, a, pb, b)')
+        if a.lattice != b.lattice:
+            raise ValueError(f'wedge requires Forms on the same lattice; '
+                             f'got {a.lattice} and {b.lattice}')
         out = np.asarray(_calculus.wedge(a.lattice, a.degree, np.asarray(a),
                                          b.degree, np.asarray(b)))
         return Form(out, degree=a.degree + b.degree, lattice=a.lattice)

@@ -68,11 +68,17 @@ class Form(np.ndarray):
         if out is not None:
             kwargs['out'] = tuple(np.asarray(o) for o in out)
         result = getattr(ufunc, method)(*raw, **kwargs)
-        # Re-wrap only when unambiguous: one shared degree, elementwise shape.
+        # Re-wrap only when unambiguous: one shared degree, elementwise shape,
+        # and the operand still has a full form shape (a sliced view keeps the
+        # metadata via __array_finalize__ but is no longer a whole form — its
+        # arithmetic must return a plain ndarray rather than crash on the
+        # shape-validating constructor).
         if (len(degrees) == 1 and isinstance(result, np.ndarray)
                 and forms and result.shape == forms[0].shape
                 and forms[0].lattice is not None):
-            return Form(result, degree=forms[0].degree, lattice=forms[0].lattice)
+            lattice, degree = forms[0].lattice, forms[0].degree
+            if result.shape[-lattice.D - 1:] == lattice.form_shape(degree):
+                return Form(result, degree=degree, lattice=lattice)
         return result
 
     # -- component access ---------------------------------------------------

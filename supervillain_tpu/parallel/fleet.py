@@ -92,28 +92,6 @@ class Fleet:
                    np.asarray(group['index']), np.asarray(group['weight']))
 
 
-def fleet_step_fn(action, generator, thin=1):
-    """Build the pure per-iteration fleet kernel:
-    ``(key, cfgs, stats) -> (cfgs, stats, draws)`` advancing every chain ``thin``
-    steps; suitable for jit with sharded cfgs."""
-
-    def one_chain(key, cfg, stats):
-        def body(carry, k):
-            cfg, stats = carry
-            cfg, stats, inline = generator.step(k, cfg, stats)
-            return (cfg, stats), None
-        keys = jax.random.split(key, thin)
-        (cfg, stats), _ = jax.lax.scan(body, (cfg, stats), keys)
-        return cfg, stats
-
-    def step(key, cfgs, stats):
-        chains = jax.tree.leaves(cfgs)[0].shape[0]
-        keys = jax.vmap(lambda i: jax.random.fold_in(key, i))(jnp.arange(chains))
-        return jax.vmap(one_chain)(keys, cfgs, stats)
-
-    return step
-
-
 def sample_fleet(action, generator, *, chains, steps, thin=1, seed=0, mesh=None,
                  start='cold', keep_fields=True, progress=None):
     """Sample ``chains`` independent chains for ``steps`` kept configurations, each
@@ -149,8 +127,6 @@ def sample_fleet(action, generator, *, chains, steps, thin=1, seed=0, mesh=None,
         cfgs = jax.tree.map(shard_leaf, cfgs)
         stats = jax.tree.map(shard_leaf, stats)
 
-    step = fleet_step_fn(action, generator, thin=thin)
-
     def scan_chunk(key, cfgs, stats, n):
         def body(carry, k):
             cfgs, stats = carry
@@ -161,7 +137,11 @@ def sample_fleet(action, generator, *, chains, steps, thin=1, seed=0, mesh=None,
                     return (cfg, st), inline
                 keys = jax.random.split(ck, thin)
                 (cfg, st), inlines = jax.lax.scan(inner, (cfg, st), keys)
-                inline = {kk: v[-1] for kk, v in inlines.items()}
+                # Blocked inline averaging over the thinned-away sub-steps
+                # (KeepEvery's blocked_inline semantics, reference
+                # combining.py:58-116) so rare measurements — e.g. worm
+                # correlator histograms — keep all their statistics.
+                inline = {kk: v.mean(axis=0) for kk, v in inlines.items()}
                 return cfg, st, inline
             chains_n = jax.tree.leaves(cfgs)[0].shape[0]
             keys = jax.vmap(lambda i: jax.random.fold_in(k, i))(jnp.arange(chains_n))

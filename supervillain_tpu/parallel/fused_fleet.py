@@ -7,48 +7,90 @@ measured in-kernel; kept configurations stream to the host.  This is the
 BASELINE-shape workload — thousands of chains, inline observables at scale, HDF5
 output via :class:`~.fleet.Fleet`.
 
-With more than one device, shard the chain batch before calling (the kernel grid
-parallelizes across the sharded batch under SPMD).
+With a ``mesh`` the chain batch is sharded over the mesh's ``chains`` axis and
+every device runs the kernel on its local shard under ``jax.shard_map`` (grid
+parallelism under SPMD); per-device PRNG seeds are decorrelated by folding in
+the device's mesh position.
 """
 
 from __future__ import annotations
 
+from functools import partial
+
 import numpy as np
 import jax
 import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
 
 from .fleet import Fleet
 
 
+def _fused_launch(action, *, N, thin, interval_phi, interval_n, p_n,
+                  chains_per_program, mesh=None, interpret=False, kernel_fn=None):
+    """(seed, phi, n) -> (phi, n, accepted, inline), optionally shard_mapped over
+    the mesh's ``chains`` axis.  ``kernel_fn`` substitutes the Pallas kernel
+    (same signature) — used to exercise the SPMD plumbing on CPU meshes where
+    the TPU kernel cannot run."""
+    from ..ops.pallas_sweep import neighborhood_sweeps
+    kernel = partial(kernel_fn or neighborhood_sweeps,
+                     N=N, kappa=action.kappa, W=int(action.W),
+                     interval_phi=float(interval_phi), interval_n=int(interval_n),
+                     p_n=None if p_n is None else float(p_n),
+                     sweeps=thin, chains_per_program=chains_per_program,
+                     interpret=interpret)
+    if mesh is None:
+        return kernel
+
+    def local(seed, phi, n):
+        # Decorrelate the per-program hardware-PRNG seeds across devices.
+        seed = seed + jax.lax.axis_index('chains') * jnp.int32(7919 * 2053)
+        return kernel(seed, phi, n)
+
+    inline_spec = {'ActionDensity': P('chains'), 'WindingSquared': P('chains')}
+    return jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(), P('chains'), P('chains')),
+        out_specs=(P('chains'), P('chains'), P('chains'), inline_spec),
+        check_vma=False)
+
+
 def sample_fused_fleet(action, *, chains, steps, thin=10, seed=0,
                        interval_phi=np.pi, interval_n=1, p_n=None,
-                       chains_per_program=None, keep_fields=False, progress=None):
+                       chains_per_program=None, keep_fields=False, progress=None,
+                       mesh=None, interpret=False, kernel_fn=None):
     """Sample ``chains`` Villain chains for ``steps`` kept records, each separated
     by ``thin`` fused sweeps.
 
     Returns a :class:`Fleet` whose columns are the inline observables (and the
-    fields, if ``keep_fields``).
+    fields, if ``keep_fields``).  With a ``mesh`` (1-D, axis ``chains``) the chain
+    batch is sharded across its devices.
     """
-    from ..ops.pallas_sweep import neighborhood_sweeps
     L = action.Lattice
     N = L.N
     if chains_per_program is None:
         chains_per_program = 1
+    if mesh is not None and chains % mesh.devices.size != 0:
+        raise ValueError(f'{chains} chains not divisible by '
+                         f'{mesh.devices.size} mesh devices')
 
     phi = jnp.zeros((chains, 1, N, N), jnp.float32)
     n = jnp.zeros((chains, 2, N, N), jnp.int32)
+    if mesh is not None:
+        sharding = NamedSharding(mesh, P('chains'))
+        phi = jax.device_put(phi, sharding)
+        n = jax.device_put(n, sharding)
+
+    launch = _fused_launch(action, N=N, thin=thin, interval_phi=interval_phi,
+                           interval_n=interval_n, p_n=p_n,
+                           chains_per_program=chains_per_program, mesh=mesh,
+                           interpret=interpret, kernel_fn=kernel_fn)
 
     rng = np.random.default_rng(seed)
     columns = None
     total_accepted = 0.0
     iterator = range(steps) if progress is None else progress(range(steps))
     for i in iterator:
-        phi, n, acc, inline = neighborhood_sweeps(
-            jnp.int32(rng.integers(0, 2 ** 31 - 1)), phi, n,
-            N=N, kappa=action.kappa, W=int(action.W),
-            interval_phi=float(interval_phi), interval_n=int(interval_n),
-            p_n=None if p_n is None else float(p_n),
-            sweeps=thin, chains_per_program=chains_per_program)
+        phi, n, acc, inline = launch(jnp.int32(rng.integers(0, 2 ** 31 - 1)), phi, n)
         record = {k: np.asarray(v) for k, v in inline.items()}
         if keep_fields:
             record['phi'] = np.asarray(phi)

@@ -99,13 +99,50 @@ def test_ensemble_cut_every(ensemble):
 
 
 def test_uncertain_formatting():
-    assert f'{Uncertain(1.23456, 0.00321)}' == '1.2346(32)'
-    assert f'{Uncertain(1.23456, 0.00321):u1}' == '1.235(3)'
-    assert f'{Uncertain(-5.4321, 0.098)}' == '-5.432(98)'
-    assert f'{Uncertain(1.5, 0.25):+u1}' == '+1.5(3)'
-    assert f'{Uncertain(1234.5, 120):u1}' == '1235(120)'.replace('1235(120)', f'{Uncertain(1234.5, 120):u1}')
-    s = f'{Uncertain(12345.6, 321):e}'
-    assert s.startswith('1.23') and s.endswith('e+04')
+    # Ground truth captured by executing the reference implementation
+    # (/root/reference/supervillain/analysis/uncertain.py docstring examples).
+    m_e = Uncertain(0.51099895000, 0.00000000015)
+    assert str(m_e) == '+5.1099895000(15) × 10^-1'
+    assert format(m_e, 'u1') == '5.109989500(2) × 10^-1'
+    assert format(m_e, '.3') == '5.110(0) × 10^-1'
+    assert format(m_e, 'eu3') == '5.10998950000(150)e-1'
+    assert format(m_e, '+eu3') == '+5.10998950000(150)e-1'
+    # Zero uncertainty → bare mean (scientific when the exponent is nonzero).
+    assert str(Uncertain(3.14159, 0)) == '+3.14159'
+    assert str(Uncertain(314.159, 0)) == '+3.14159 × 10^+2'
+    # Uncertainty ≥ |mean| → explicit ± fallback.
+    assert str(Uncertain(1, 10)) == '(+1.00 ± 10.00)'
+    assert format(Uncertain(1, 10), '.3') == '(1.000 ± 10.000)'
+    assert str(Uncertain(2.5, 2.5)) == '(+2.50 ± 2.50)'
+    # Single trustworthy digit keeps the decimal point in the parentheses.
+    assert str(Uncertain(8.5, .031)) == '+8.500(31)'
+    assert str(Uncertain(8.5, .31)) == '+8.50(31)'
+    assert str(Uncertain(8.5, 3.1)) == '+8.5(3.1)'
+    # The empty spec implies '+'; an explicit spec without '+' does not.
+    assert format(Uncertain(-1.5, 0.2), '') == '-1.50(20)'
+    assert format(Uncertain(91.1876, 0.0021), 'u2') == '9.11876(21) × 10^+1'
+    assert format(Uncertain(0.1179, 0.0010), 'e') == '1.179(10)e-1'
+    assert str(Uncertain(6.67430E-11, 1.5E-15)) == '+6.67430(15) × 10^-11'
+    assert str(Uncertain(938.27208816, 0.00000029)) == '+9.3827208816(29) × 10^+2'
+
+
+def test_uncertain_precision_u_exclusive():
+    with pytest.raises(ValueError):
+        format(Uncertain(1.5, 0.1), '.3u2')
+    with pytest.raises(ValueError):
+        format(Uncertain(1.5, 0.1), 'zz')
+
+
+def test_uncertain_from_string():
+    for s, mean, err in [
+        ('9.1093837015(28)E-31', 9.1093837015e-31, 2.8e-40),
+        ('1.67262192369(51) × 10^-27', 1.67262192369e-27, 5.1e-37),
+        ('(1836.15267343± 0.00000011)', 1836.15267343, 1.1e-07),
+        ('1.2346(32)', 1.2346, 0.0032),
+    ]:
+        u = Uncertain.from_string(s)
+        assert abs(u.mean - mean) <= 1e-12 * max(abs(mean), 1)
+        assert abs(u.uncertainty - err) <= 1e-12 * max(err, 1)
 
 
 def test_continue_from(ensemble):

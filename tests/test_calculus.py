@@ -285,3 +285,74 @@ def test_sparse_operators_match_dense(D, N, rng):
     fa = np.asarray(face_sum(L, 1, f1))
     assert (np.asarray(face_sum_at(L, 1, f1, 0, color))
             == fa[(0,) + tuple(color)]).all()
+
+
+@pytest.mark.parametrize('D,N', GEOMETRIES)
+def test_laplacian_weitzenbock_identity(D, N, rng):
+    """⟨Δf, f⟩ = ⟨df, df⟩ + ⟨δf, δf⟩ — the equality (not just positivity) that
+    follows from adjointness applied to both halves of Δ = dδ + δd (mirrors
+    /root/reference/test/test_lattice.py:397-404)."""
+    L = Lattice(D, N)
+    for p in degrees(L):
+        f = random_form(rng, L, p)
+        lhs = float(inner(laplacian(L, p, f), f))
+        df = d(L, p, f)
+        deltaf = delta(L, p, f)
+        rhs = float(jnp.sum(df * df)) + float(jnp.sum(deltaf * deltaf))
+        assert np.isclose(lhs, rhs, atol=1e-8 * L.sites)
+
+
+@pytest.mark.parametrize('D,N', [(2, 3), (2, 4), (3, 3), (4, 3)])
+def test_wedge_associative(D, N, rng):
+    """(a∧b)∧c == a∧(b∧c) for all degree triples with n+m+q ≤ D (mirrors
+    reference test_lattice.py:318-323)."""
+    L = Lattice(D, N)
+    for n in range(D + 1):
+        for m in range(D + 1 - n):
+            for q in range(D + 1 - n - m):
+                a = random_form(rng, L, n)
+                b = random_form(rng, L, m)
+                c = random_form(rng, L, q)
+                lhs = wedge(L, n + m, wedge(L, n, a, m, b), q, c)
+                rhs = wedge(L, n, a, m + q, wedge(L, m, b, q, c))
+                assert np.allclose(np.asarray(lhs), np.asarray(rhs))
+
+
+@pytest.mark.parametrize('D,N', [(2, 3), (2, 4), (3, 3), (4, 3)])
+def test_wedge_leibniz_rule(D, N, rng):
+    """d(a∧b) = da∧b + (−1)^n a∧db for n+m+1 ≤ D (mirrors reference
+    test_lattice.py:325-331)."""
+    L = Lattice(D, N)
+    for n in range(D):
+        for m in range(D - n):
+            a = random_form(rng, L, n)
+            b = random_form(rng, L, m)
+            lhs = d(L, n + m, wedge(L, n, a, m, b))
+            rhs = wedge(L, n + 1, d(L, n, a), m, b) \
+                + (-1) ** n * wedge(L, n, a, m + 1, d(L, m, b))
+            assert np.allclose(np.asarray(lhs), np.asarray(rhs))
+
+
+@pytest.mark.parametrize('D,N', [(2, 3), (2, 4), (3, 3), (4, 3)])
+def test_star_star_is_signed_push(D, N, rng):
+    """★★f = (−1)^{p(D−p)} push(f, 𝟙): the staggered star's alignment shifts
+    compose to one step in every direction (reference test_lattice.py:257-264)."""
+    L = Lattice(D, N)
+    for p in degrees(L):
+        f = random_form(rng, L, p)
+        lhs = np.asarray(star(L, D - p, star(L, p, f)))
+        rhs = (-1) ** (p * (D - p)) * np.asarray(push(f, (1,) * D))
+        assert np.allclose(lhs, rhs)
+
+
+@pytest.mark.parametrize('D,N', [(2, 3), (2, 4), (3, 3), (4, 3)])
+def test_star_d_star_is_shifted_delta(D, N, rng):
+    """★d★f = (−1)^{D(p−1)+1} push(δf, 𝟙) — the continuum δ = ±★d★ with the
+    compact lattice's alignment shift (reference test_lattice.py:267-291)."""
+    L = Lattice(D, N)
+    for p in range(1, D + 1):
+        f = random_form(rng, L, p)
+        sign = (-1) ** (D * (p - 1) + 1)
+        lhs = np.asarray(star(L, D - p + 1, d(L, D - p, star(L, p, f))))
+        assert np.allclose(lhs, sign * np.asarray(push(delta(L, p, f), (1,) * D)))
+        assert np.allclose(lhs, sign * np.asarray(delta(L, p, push(f, (1,) * D))))

@@ -149,3 +149,32 @@ def test_adjointness_in_form_convention(lattice):
         lhs = float((np.asarray(d(a)) * np.asarray(b)).sum())
         rhs = float((np.asarray(a) * np.asarray(delta(b))).sum())
         assert abs(lhs - rhs) < 1e-4 * max(1.0, abs(lhs))
+
+
+def test_degree_boundary_returns_zero(lattice):
+    """d of a top form and δ of a 0-form are scalar 0, as in the reference
+    (compact.py:996-1000, 1035-1039) — not errors."""
+    from supervillain_tpu.lattice import d, delta
+    top = lattice.form(lattice.D)
+    zero = lattice.form(0)
+    assert d(top) == 0
+    assert delta(zero) == 0
+    # Chaining at the boundary therefore behaves like the reference.
+    assert delta(delta(lattice.form(1))) == 0
+
+
+def test_sliced_form_arithmetic_returns_plain_array(lattice):
+    """Arithmetic on a sliced Form (metadata no longer matching a full form
+    shape) degrades gracefully to a plain ndarray instead of crashing."""
+    f = lattice.form(1, np.random.default_rng(0).normal(size=lattice.form_shape(1)))
+    s = f[0] + f[0]
+    assert type(s) is np.ndarray
+    assert s.shape == lattice.dims
+    np.testing.assert_allclose(s, 2 * np.asarray(f)[0])
+
+
+def test_wedge_rejects_mismatched_lattices(lattice):
+    from supervillain_tpu.lattice import Lattice, wedge
+    other = Lattice(lattice.D, lattice.N + 2)
+    with pytest.raises(ValueError):
+        wedge(lattice.form(1), other.form(1))

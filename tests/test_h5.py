@@ -44,6 +44,60 @@ def test_generator_spec_roundtrip():
     assert generator_spec(G2) == spec
 
 
+def test_generator_spec_roundtrip_every_generator():
+    """``generator_spec(generator_from_spec(spec)) == spec`` for every generator,
+    including the transition-kernel parameters that shape the proposal
+    (p_n, sweeps_per_step): continuing from H5 must reproduce the same kernel."""
+    from supervillain_tpu.generators.villain_fused import FusedNeighborhoodUpdate
+    from supervillain_tpu.generators.worldline_fused import FusedWorldlineUpdate
+    from supervillain_tpu.generators.base import DoNothing
+    SV = sv.Villain(sv.Lattice2D(4), 0.5, W=2)
+    SW = sv.Worldline(sv.Lattice2D(4), 0.5, W=2)
+    generators = [
+        gv.SiteUpdate(SV, interval_phi=1.25),
+        gv.LinkUpdate(SV, interval_n=2),
+        gv.ExactUpdate(SV, interval_z=3),
+        gv.CohomologyUpdate(SV, interval_h=2),
+        gv.NeighborhoodUpdate(SV, interval_phi=2.5, interval_n=2, p_n=0.0625),
+        gv.ClassicWorm(SV),
+        gw.VortexUpdate(SW, interval_v=2),
+        gw.CoexactUpdate(SW, interval_t=2),
+        gw.WrappingUpdate(SW, interval_w=2),
+        gw.PlaquetteUpdate(SW),
+        gw.ClassicWorm(SW),
+        FusedNeighborhoodUpdate(SV, interval_phi=2.0, interval_n=2,
+                                sweeps_per_step=5, p_n=0.125),
+        FusedWorldlineUpdate(SW, interval_v=2, interval_t=3, interval_w=2,
+                             sweeps_per_step=4),
+        DoNothing(),
+    ]
+    for G in generators:
+        action = getattr(G, 'Action', SV)
+        spec = generator_spec(G)
+        G2 = generator_from_spec(spec, action)
+        assert generator_spec(G2) == spec, f'{type(G).__name__} spec not faithful'
+    # p_n is part of the stored spec (round-1 regression: it was dropped, so a
+    # zero-inflated ensemble silently continued with the uniform proposal).
+    spec = generator_spec(gv.NeighborhoodUpdate(SV, p_n=0.0625))
+    assert spec['args']['p_n'] == 0.0625
+
+
+def test_version_check_strict_and_lenient(tmp_h5):
+    from supervillain_tpu.io import check_version
+    S = sv.Villain(sv.Lattice2D(4), 0.5, W=1)
+    e = sv.Ensemble(S).generate(5, gv.NeighborhoodUpdate(S), seed=3)
+    g = tmp_h5.create_group('ens')
+    e.to_h5(g)
+    sv.Ensemble.from_h5(g)  # same version: fine
+    g.attrs['version'] = 'not-a-real-version'
+    from supervillain_tpu.io import ensemble_from_h5
+    with pytest.raises(ValueError):
+        ensemble_from_h5(g)
+    e2 = ensemble_from_h5(g, strict=False)  # lenient: warns, still reads
+    assert len(e2) == len(e)
+    check_version(g, strict=False)  # directly exercisable too
+
+
 def test_ensemble_roundtrip_with_measurements(tmp_h5):
     S = sv.Villain(sv.Lattice2D(4), 0.5, W=1)
     e = sv.Ensemble(S).generate(20, gv.Hammer(S), seed=17)
