@@ -1,0 +1,163 @@
+#!/usr/bin/env python
+"""BKT scan at L=256 (BASELINE config #4): a fleet κ-scan across the W=1
+critical coupling κ_c ≈ 0.74 (reference publication/generalized-bkt.rst:13)
+driven by the Pallas-fused neighborhood kernel, with
+
+* inline ActionDensity / WindingSquared measured *in-kernel* every sweep, and
+* periodic spin-correlator measurements: Spin_Spin = correlation(e^{iφ}, e^{iφ})
+  evaluated on-device between fused launches (same math as
+  observables/spin.py:Spin_Spin.Villain), bootstrapped into
+  SpinSusceptibility / SpinSusceptibilityScaled (Δ = W²/8 at finite W).
+
+Across the scan the scaled susceptibility χ_S/L^{D−2Δ} rises steeply through
+κ_c as the spin correlator turns from exponential decay to the critical
+power law — the generalized-BKT signature this framework exists to measure.
+
+Runtime: a few minutes on one v5e chip at the default settings (most of it
+first-launch compilation); scale --chains/--records up for physics-grade error
+bars.  On CPU backends the script automatically shrinks to L=64 so it stays
+runnable end-to-end anywhere.
+"""
+
+import argparse
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+import supervillain_tpu as sv
+from supervillain_tpu.analysis import Bootstrap, Uncertain
+from supervillain_tpu.ensemble import Ensemble
+from supervillain_tpu.configurations import Configurations
+
+
+def main():
+    on_tpu = jax.default_backend() not in ('cpu',)
+    ap = sv.cli.ArgumentParser(description=__doc__)
+    ap.add_argument('--L', type=int, default=256 if on_tpu else 64)
+    ap.add_argument('--chains', type=int, default=32 if on_tpu else 8)
+    ap.add_argument('--therm-sweeps', type=int, default=400)
+    ap.add_argument('--records', type=int, default=24)
+    ap.add_argument('--thin', type=int, default=25, help='fused sweeps per record')
+    ap.add_argument('--kappas', type=float, nargs='+',
+                    default=[0.55, 0.65, 0.74, 0.85, 1.00])
+    ap.add_argument('--p_n', type=float, default=0.05,
+                    help='zero-inflated Δn proposal probability (mixing at scale)')
+    ap.add_argument('--bootstraps', type=int, default=100)
+    ap.add_argument('--h5', type=str, default=None, help='write per-κ results here')
+    args = ap.parse_args()
+
+    N, B = args.L, args.chains
+    L = sv.Lattice2D(N)
+    W = 1
+    Delta = W ** 2 / 8
+    scale = N ** (L.D - 2 * Delta)
+
+    if on_tpu:
+        from supervillain_tpu.ops.pallas_sweep import neighborhood_sweeps
+    else:
+        # CPU fallback with the same signature: vmapped XLA NeighborhoodUpdate
+        # (the Pallas kernel is TPU-only).  Keeps the example runnable anywhere.
+        from functools import partial
+        from supervillain_tpu.generators.villain import NeighborhoodUpdate
+
+        @partial(jax.jit, static_argnames=('N', 'kappa', 'W', 'interval_phi',
+                                           'interval_n', 'sweeps', 'p_n'))
+        def neighborhood_sweeps(seed, phi, n, *, N, kappa, W, interval_phi,
+                                interval_n, sweeps, p_n=None):
+            S = sv.Villain(sv.Lattice2D(N), kappa, W)
+            G = NeighborhoodUpdate(S, interval_phi=interval_phi,
+                                   interval_n=interval_n, p_n=p_n)
+            BB = phi.shape[0]
+
+            def chain(key, phi1, n1):
+                def body(carry, k):
+                    cfg, st = carry
+                    cfg, st, _ = G.step(k, cfg, st)
+                    return (cfg, st), None
+                (cfg, st), _ = jax.lax.scan(
+                    body, ({'phi': phi1, 'n': n1}, G.init_stats()),
+                    jax.random.split(key, sweeps))
+                inline = {
+                    'ActionDensity': S(cfg['phi'], cfg['n']) / (N * N),
+                    'WindingSquared': jnp.mean(
+                        sv.ops.calculus.d(S.Lattice, 1, cfg['n']).astype(float) ** 2),
+                }
+                return cfg['phi'], cfg['n'], st[G.name]['accepted'], inline
+            keys = jax.vmap(lambda i: jax.random.fold_in(
+                jax.random.key(seed.astype(jnp.uint32)), i))(jnp.arange(BB))
+            return jax.vmap(chain)(keys, phi, n)
+
+    @jax.jit
+    def spin_correlator(phi):
+        """Per-chain Spin_Spin (N, N) real part, from the current φ."""
+        cdtype = jnp.complex64
+        spin = jnp.exp(1j * phi[:, 0].astype(cdtype))
+        corr = jax.vmap(lambda s: L.correlation(s, s))(spin)
+        return corr.real  # complex arrays cannot cross the device boundary here
+
+    print(f'# L={N} chains={B} W={W} Δ={Delta}  (κ_c ≈ 0.74 expected)')
+    print(f'{"κ":>6} {"acc":>6} {"ActionDensity":>16} {"WindingSq":>14} '
+          f'{"χ_S":>14} {"χ_S/L^(D-2Δ)":>14}')
+
+    results = {}
+    for kappa in args.kappas:
+        t0 = time.perf_counter()
+        rng = np.random.default_rng(20260820)
+        phi = jnp.zeros((B, 1, N, N), jnp.float32)
+        n = jnp.zeros((B, 2, N, N), jnp.int32)
+
+        def launch(phi, n, sweeps):
+            return neighborhood_sweeps(
+                jnp.int32(rng.integers(0, 2 ** 31 - 1)), phi, n, N=N,
+                kappa=kappa, W=W, interval_phi=0.7, interval_n=1,
+                p_n=args.p_n, sweeps=sweeps)
+
+        phi, n, acc, _ = launch(phi, n, args.therm_sweeps)
+
+        S_col = np.empty((args.records, B))
+        W2_col = np.empty((args.records, B))
+        chi_col = np.empty((args.records, B))
+        accepted = 0.0
+        for r in range(args.records):
+            phi, n, acc, inline = launch(phi, n, args.thin)
+            accepted += float(acc.sum())
+            S_col[r] = np.asarray(inline['ActionDensity'])
+            W2_col[r] = np.asarray(inline['WindingSquared'])
+            corr = np.asarray(spin_correlator(phi))        # (B, N, N)
+            chi_col[r] = corr.sum(axis=(1, 2)) / corr[:, 0, 0]
+        acc_frac = accepted / (B * N * N * args.thin * args.records)
+
+        # Pool chains (independent by construction) into one ensemble of
+        # record-level draws and bootstrap.
+        S_action = sv.Villain(L, kappa, W)
+        e = Ensemble(S_action).from_configurations(Configurations({
+            'ActionDensity': S_col.reshape(-1),
+            'WindingSquared': W2_col.reshape(-1),
+            'SpinSusceptibility': chi_col.reshape(-1),
+        }))
+        b = Bootstrap(e, draws=args.bootstraps)
+        mS, eS = b.estimate('ActionDensity')
+        mW, eW = b.estimate('WindingSquared')
+        mX, eX = b.estimate('SpinSusceptibility')
+        results[kappa] = dict(acc=acc_frac, S=(mS, eS), W2=(mW, eW),
+                              chi=(mX, eX), chi_scaled=(mX / scale, eX / scale),
+                              seconds=time.perf_counter() - t0)
+        print(f'{kappa:>6.2f} {acc_frac:>6.1%} {str(Uncertain(mS, eS)):>16} '
+              f'{str(Uncertain(mW, eW)):>14} {str(Uncertain(mX, eX)):>14} '
+              f'{str(Uncertain(mX / scale, eX / scale)):>14}')
+
+    if args.h5:
+        import h5py
+        with h5py.File(args.h5, 'w') as f:
+            for kappa, res in results.items():
+                g = f.create_group(f'kappa_{kappa}')
+                for k, v in res.items():
+                    g[k] = np.asarray(v)
+    return results
+
+
+if __name__ == '__main__':
+    main()

@@ -20,6 +20,15 @@ import jax
 jax.config.update('jax_platforms', 'cpu')
 jax.config.update('jax_enable_x64', True)
 
+# Persistent compilation cache: the suite is dominated by hundreds of small XLA
+# compiles, so repeat runs (every round, every xdist worker after the first
+# populates it) drop from ~7 min to well under 3.  The directory is untracked;
+# it persists on disk between runs in the same workspace.
+_cache_dir = os.path.join(os.path.dirname(__file__), os.pardir, '.jax_cache')
+jax.config.update('jax_compilation_cache_dir', os.path.abspath(_cache_dir))
+jax.config.update('jax_persistent_cache_min_compile_time_secs', 0.0)
+jax.config.update('jax_persistent_cache_min_entry_size_bytes', -1)
+
 import numpy as np
 import pytest
 

@@ -1,0 +1,109 @@
+"""Exact-distribution test: on a 2×2 worldline lattice the equilibrium
+distribution is enumerable, so the sampled chain can be χ²-tested against the
+*exact* Boltzmann probabilities — a stronger check than the reference's
+statistical cross-comparisons (its test battery never tests equilibrium
+distributions directly).
+
+The gauge-invariant state is u = m − δv/W (a closed integer 1-form: δu = 0 by
+the δm = 0 constraint), distributed as P(u) ∝ exp(−Σ_ℓ u_ℓ² / 2κ).  At W=1 and
+κ=0.4 the partition sum truncated at |u_ℓ| ≤ 3 carries all but O(1e-10) of the
+mass, so exact probabilities are computable by brute force over the 8 links.
+"""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+import supervillain_tpu as sv
+from supervillain_tpu.generators import worldline as gw
+from supervillain_tpu.ops import calculus
+from supervillain_tpu.parallel.fleet import sample_fleet
+
+KAPPA = 0.4
+
+
+def _enumerate_closed_forms(L, cutoff):
+    """All integer 1-forms u with δu = 0 and |u_ℓ| ≤ cutoff on the 2×2 lattice,
+    with their Boltzmann weights."""
+    n_links = 2 * L.sites
+    vals = np.arange(-cutoff, cutoff + 1)
+    grids = np.meshgrid(*([vals] * n_links), indexing='ij')
+    u = np.stack([g.ravel() for g in grids], axis=-1)          # (K, 8)
+    forms = u.reshape(-1, 2, L.N, L.N)
+    # δu = 0 (vectorized over the enumeration batch)
+    div = np.zeros((forms.shape[0], L.N, L.N))
+    for mu in range(2):
+        div += forms[:, mu] - np.roll(forms[:, mu], +1, axis=mu + 1)
+    closed = np.abs(div).max(axis=(1, 2)) == 0
+    forms = forms[closed]
+    weights = np.exp(-(forms ** 2).sum(axis=(1, 2, 3)) / (2 * KAPPA))
+    return forms, weights
+
+
+def test_worldline_hammer_samples_exact_distribution():
+    L = sv.Lattice2D(2)
+    S = sv.Worldline(L, KAPPA, W=1)
+
+    forms, weights = _enumerate_closed_forms(L, cutoff=3)
+    Z = weights.sum()
+    probs = weights / Z
+    keys = [f.tobytes() for f in forms.astype(np.int8)]
+    prob_of = dict(zip(keys, probs))
+
+    fleet = sample_fleet(S, gw.Hammer(S), chains=48, steps=120, thin=4, seed=7)
+    cut = 20  # thermalization (in kept records)
+    m = fleet.columns['m'][cut:].reshape(-1, 2, 2, 2)
+    v = fleet.columns['v'][cut:].reshape(-1, 1, 2, 2)
+
+    # u = m − δv/W, rounded to integers (exact at W=1).
+    counts = {}
+    n_draws = m.shape[0]
+    for i in range(n_draws):
+        dv = np.asarray(calculus.delta(L, 2, jnp.asarray(v[i], jnp.float64)))
+        u = np.rint(m[i] - dv).astype(np.int8)
+        assert np.abs(u).max() <= 3, 'sampled state outside enumeration cutoff'
+        counts[u.tobytes()] = counts.get(u.tobytes(), 0) + 1
+
+    # Every sampled state must be a valid closed form from the enumeration.
+    for k in counts:
+        assert k in prob_of, 'sampled a state with δu != 0'
+
+    # χ² over bins with expected count ≥ 5; everything else pooled.
+    chi2 = 0.0
+    dof = 0
+    pooled_obs = 0
+    pooled_exp = 0.0
+    for k, p in prob_of.items():
+        exp = p * n_draws
+        obs = counts.get(k, 0)
+        if exp >= 5:
+            chi2 += (obs - exp) ** 2 / exp
+            dof += 1
+        else:
+            pooled_obs += obs
+            pooled_exp += exp
+    if pooled_exp > 0:
+        chi2 += (pooled_obs - pooled_exp) ** 2 / pooled_exp
+        dof += 1
+    dof -= 1
+
+    # Generous critical value (≈ p=1e-4 for the relevant dof range, plus slack
+    # for residual autocorrelation at thin=4); the seed is fixed, so this is
+    # deterministic.  A wrong equilibrium (e.g. a detailed-balance bug) moves
+    # χ²/dof far above O(1).
+    assert dof >= 5, f'too few populated bins ({dof}) for a meaningful test'
+    assert chi2 / dof < 3.5, f'chi2/dof = {chi2 / dof:.2f} over {dof} bins'
+
+
+def test_exact_enumeration_sanity():
+    """The enumeration itself: the zero form dominates, wrap cycles come next
+    with weight e^{-1/κ}, and probabilities are properly normalized."""
+    L = sv.Lattice2D(2)
+    forms, weights = _enumerate_closed_forms(L, cutoff=2)
+    Z = weights.sum()
+    idx0 = int(np.argmax(weights))
+    assert np.abs(forms[idx0]).max() == 0
+    # Straight torus wraps on a 2×2 lattice touch two links: S = 2/(2κ) = 1/κ.
+    wrap_weight = np.exp(-1 / KAPPA)
+    assert np.isclose(np.sort(weights)[-2], wrap_weight)
+    assert weights.max() / Z < 1  # nonzero states carry real mass

@@ -164,3 +164,51 @@ def test_cohomology_changes_winding():
     e = sv.Ensemble(S).generate(50, G, seed=8)
     w = e.n.sum(axis=(2, 3))  # (steps, D)
     assert (w != 0).any(), 'winding never changed at tiny kappa'
+
+
+# High-dimension sweeps use N=4: an odd N needs the 2^D-color checkerboard, and
+# unrolling 2^D colors × C(D,2) components makes XLA compiles explode (60s+ per
+# generator at D=4 N=3 on CPU); even N keeps the two-color path.
+@pytest.mark.parametrize('D,gens', [
+    (4, ('Site', 'Link', 'Exact', 'Cohomology', 'Neighborhood')),
+    (5, ('Site', 'Link', 'Neighborhood')),
+])
+def test_villain_updates_high_dimension(D, gens):
+    """Generator constraint sweeps at D=4 and D=5 (the reference's harness
+    sweeps high-D geometries too; round-1 coverage stopped at D=3)."""
+    S = sv.Villain(sv.Lattice(D, 4), 0.5, W=2)
+    make = {'Site': gv.SiteUpdate, 'Link': gv.LinkUpdate, 'Exact': gv.ExactUpdate,
+            'Cohomology': gv.CohomologyUpdate, 'Neighborhood': gv.NeighborhoodUpdate}
+    for name in gens:
+        G = make[name](S)
+        e = sv.Ensemble(S).generate(3, G, seed=D)
+        for i in range(3):
+            assert S.valid({'n': e.n[i]}), f'{G} broke dn = 0 mod W in D={D}'
+
+
+@pytest.mark.parametrize('D,gens', [
+    (4, ('Vortex', 'Coexact', 'Wrapping', 'Plaquette', 'Worm')),
+    (5, ('Wrapping', 'Worm')),
+])
+def test_worldline_updates_high_dimension(D, gens):
+    S = sv.Worldline(sv.Lattice(D, 4), 0.5, W=2)
+    make = {'Vortex': gw.VortexUpdate, 'Coexact': gw.CoexactUpdate,
+            'Wrapping': gw.WrappingUpdate, 'Plaquette': gw.PlaquetteUpdate,
+            'Worm': gw.ClassicWorm}
+    for name in gens:
+        G = make[name](S)
+        e = sv.Ensemble(S).generate(3, G, seed=D)
+        for i in range(3):
+            assert S.valid({'m': e.m[i]}), f'{G} broke delta m = 0 in D={D}'
+
+
+def test_hammer_high_dimension():
+    """Both Hammers compose and preserve their constraints at D=4 (worm and
+    link-update membership adjusts per D and W exactly as in the reference's
+    Hammer sugar, villain/__init__.py:10-63)."""
+    SV = sv.Villain(sv.Lattice(4, 4), 0.5, W=1)
+    e = sv.Ensemble(SV).generate(2, gv.Hammer(SV), seed=1)
+    assert all(SV.valid({'n': e.n[i]}) for i in range(2))
+    SW = sv.Worldline(sv.Lattice(4, 4), 0.5, W=1)
+    e = sv.Ensemble(SW).generate(2, gw.Hammer(SW), seed=2)
+    assert all(SW.valid({'m': e.m[i]}) for i in range(2))
