@@ -116,6 +116,16 @@ def main():
         rate, elapsed = _fused_rate(jnp, neighborhood_sweeps, N, chains,
                                     sweeps=50, reps=3, kappa=kappa)
 
+        if os.environ.get('BENCH_PROFILE') == '1':
+            # Capture one profiler trace of a timed launch as an artifact
+            # (profiles/ is untracked; inspect with tensorboard or xprof).
+            try:
+                with jax.profiler.trace('profiles/bench'):
+                    _fused_rate(jnp, neighborhood_sweeps, N, chains,
+                                sweeps=50, reps=1, kappa=kappa)
+            except Exception as e:  # the relay backend may not support tracing
+                print(f'# profiler trace unavailable: {e}', flush=True)
+
         sweep_table = {}
         if not fast:
             for (Lx, Bx, cpp) in ((64, 512, 4), (512, 32, 1), (1024, 8, 1)):
