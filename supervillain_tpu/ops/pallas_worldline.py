@@ -32,9 +32,9 @@ from .pallas_sweep import _uniform, _int_in, _roll
 
 
 def _int_nonzero(shape, interval):
-    """Uniform over ±{1..interval} (zero excluded)."""
-    bits = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
-    r = pltpu.bitcast(bits % np.uint32(2 * interval), jnp.int32) - interval
+    """Uniform over ±{1..interval} (zero excluded).  Float-scale draw instead of
+    integer modulo (see :func:`..pallas_sweep._int_in`)."""
+    r = jnp.floor(_uniform(shape) * np.float32(2 * interval)).astype(jnp.int32) - interval
     return jnp.where(r < 0, r, r + 1)
 
 
@@ -148,10 +148,174 @@ def _make_kernel(N, kappa, W, interval_v, interval_t, interval_w, sweeps):
     return kernel
 
 
+def _make_strip_kernel(N, Rb, kappa, W, interval_v, interval_t, interval_w, sweeps):
+    """Strip-chunked worldline kernel for N ≥ 512 (same rationale as
+    :func:`..pallas_sweep._make_strip_kernel`: ~15 full-lattice temporaries
+    overflow VMEM scheduling above N=256, so each checkerboard pass walks
+    ``Rb``-row strips over the VMEM-resident state).
+
+    Exactness of in-place ascending strips: during a color-c vortex/coexact
+    pass each plaquette's ΔS reads only own-row proposals (the row-above /
+    row-below plaquettes entering δ/coface stencils have opposite parity at the
+    relevant columns, so their proposals vanish), and the one write that leaves
+    a strip — the δ(·)₁ spill one row *below* — lands on columns of the
+    neighbor strip that are disjoint from its own writes and reads (even N).
+    The wrapping pass needs whole-cycle ΔS sums, so it runs as two strip walks:
+    accumulate per-cycle ΔS, then apply the accepted shifts.
+    """
+    kappa = np.float32(kappa)
+    inv2k = np.float32(0.5 / kappa)
+    fW = np.float32(W)
+    S = N // Rb
+    pad = (Rb + 1, N)   # body rows + one halo row below
+
+    def kernel(seed_ref, m_ref, v_ref, m_out, v_out, acc_out, dv0_s, dv1_s):
+        pltpu.prng_seed(seed_ref[0] + pl.program_id(0) * np.int32(2654435761 & 0x7FFFFFFF))
+        m_out[0, 0] = m_ref[0, 0]
+        m_out[0, 1] = m_ref[0, 1]
+        v_out[0, 0] = v_ref[0, 0]
+        v0 = v_ref[0, 0]
+        dv0_s[:] = (v0 - _roll(v0, 1, 1)).astype(jnp.float32)
+        dv1_s[:] = (-(v0 - _roll(v0, 1, 0))).astype(jnp.float32)
+
+        rowpad = jax.lax.broadcasted_iota(jnp.int32, pad, 0)
+        lanep = jax.lax.broadcasted_iota(jnp.int32, pad, 1)
+        own = jnp.where(rowpad < Rb, 1, 0)
+
+        def load(ref, row0, bot):
+            return jnp.concatenate([ref[pl.ds(row0, Rb), :], ref[pl.ds(bot, 1), :]],
+                                   axis=0)
+
+        def up(x):   # x[y+1] at y (junk in last row, masked)
+            return jnp.concatenate([x[1:], x[:1]], axis=0)
+
+        def dn(x):   # x[y-1] at y
+            return jnp.concatenate([x[-1:], x[:-1]], axis=0)
+
+        def strip_ctx(s):
+            row0 = s * Rb
+            bot = (row0 + Rb) % N
+            parity = (rowpad + row0 + lanep) % 2
+            return row0, bot, parity
+
+        def plaquette_pass(color, s, acc, *, which):
+            """Shared body of the vortex (which=0: Δv) and coexact (which=1: Δm)
+            strip passes — identical ΔS stencil, different applied field."""
+            row0, bot, parity = strip_ctx(s)
+            imask = jnp.where(parity == color, 1, 0) * own
+            m0 = load(m_out.at[0, 0], row0, bot)
+            m1 = load(m_out.at[0, 1], row0, bot)
+            dv0 = load(dv0_s, row0, bot)
+            dv1 = load(dv1_s, row0, bot)
+            l0 = m0.astype(jnp.float32) - dv0 / fW
+            l1 = m1.astype(jnp.float32) - dv1 / fW
+
+            prop = _int_nonzero(pad, interval_v if which == 0 else interval_t) * imask
+            # δ(prop): c0 lateral; c1[y] = -prop[y] + prop[y-1].
+            c0 = prop - _rxn(prop, 1)
+            c1 = -prop + dn(prop)
+            c0f = c0.astype(jnp.float32)
+            c1f = c1.astype(jnp.float32)
+            if which == 0:   # vortex: links change by -δ(Δv)/W
+                t0 = inv2k * (-c0f / fW) * (2.0 * l0 - c0f / fW)
+                t1 = inv2k * (-c1f / fW) * (2.0 * l1 - c1f / fW)
+            else:            # coexact: m changes by +δ(t)
+                t0 = inv2k * c0f * (2.0 * l0 + c0f)
+                t1 = inv2k * c1f * (2.0 * l1 + c1f)
+            dS = t0 + _rxn(t0, -1) + t1 + up(t1)
+            accept = jnp.where(_uniform(pad) < jnp.exp(-dS), 1, 0) * imask
+            applied = prop * accept
+            a0 = applied - _rxn(applied, 1)
+            a1 = -applied + dn(applied)
+            if which == 0:
+                v_out[0, 0, pl.ds(row0, Rb), :] = \
+                    v_out[0, 0, pl.ds(row0, Rb), :] + applied[:Rb]
+                dv0_s[pl.ds(row0, Rb), :] = (dv0 + a0.astype(jnp.float32))[:Rb]
+                dv1_s[pl.ds(row0, Rb), :] = (dv1 + a1.astype(jnp.float32))[:Rb]
+                # spill: dv1[bot] += applied[Rb-1] (column-disjoint +=)
+                dv1_s[pl.ds(bot, 1), :] = dv1_s[pl.ds(bot, 1), :] \
+                    + applied[Rb - 1:Rb].astype(jnp.float32)
+            else:
+                m_out[0, 0, pl.ds(row0, Rb), :] = (m0 + a0)[:Rb]
+                m_out[0, 1, pl.ds(row0, Rb), :] = (m1 + a1)[:Rb]
+                m_out[0, 1, pl.ds(bot, 1), :] = \
+                    m_out[0, 1, pl.ds(bot, 1), :] + applied[Rb - 1:Rb]
+            return acc + jnp.sum(accept.astype(jnp.float32))
+
+        def wrapping_pass(acc):
+            # μ=0: one ±shift per column cycle.  Accumulate ΔS over strips.
+            c0 = _int_nonzero((1, N), interval_w)
+            c0f = c0.astype(jnp.float32)
+
+            def acc0(s, dS):
+                row0 = s * Rb
+                l0 = m_out[0, 0, pl.ds(row0, Rb), :].astype(jnp.float32) \
+                    - dv0_s[pl.ds(row0, Rb), :] / fW
+                return dS + jnp.sum(inv2k * c0f * (2.0 * l0 + c0f), axis=0,
+                                    keepdims=True)
+            dS0 = jax.lax.fori_loop(0, S, acc0, jnp.zeros((1, N), jnp.float32))
+            a0 = jnp.where(_uniform((1, N)) < jnp.exp(-dS0), 1, 0)
+            shift0 = c0 * a0
+
+            def apply0(s, _):
+                row0 = s * Rb
+                m_out[0, 0, pl.ds(row0, Rb), :] = \
+                    m_out[0, 0, pl.ds(row0, Rb), :] + jnp.broadcast_to(shift0, (Rb, N))
+                return 0
+            jax.lax.fori_loop(0, S, apply0, 0)
+
+            # μ=1: one ±shift per row cycle; per-strip proposals and row sums.
+            def row_pass(s, acc):
+                row0 = s * Rb
+                c1 = _int_nonzero((Rb, 1), interval_w)
+                c1b = jnp.broadcast_to(c1, (Rb, N))
+                c1f = c1b.astype(jnp.float32)
+                l1 = m_out[0, 1, pl.ds(row0, Rb), :].astype(jnp.float32) \
+                    - dv1_s[pl.ds(row0, Rb), :] / fW
+                dS1 = jnp.sum(inv2k * c1f * (2.0 * l1 + c1f), axis=1, keepdims=True)
+                a1 = jnp.where(_uniform((Rb, 1)) < jnp.exp(-dS1), 1, 0)
+                m_out[0, 1, pl.ds(row0, Rb), :] = \
+                    m_out[0, 1, pl.ds(row0, Rb), :] + c1b * jnp.broadcast_to(a1, (Rb, N))
+                return acc + jnp.sum(a1.astype(jnp.float32))
+            acc = jax.lax.fori_loop(0, S, row_pass, acc)
+            return acc + jnp.sum(a0.astype(jnp.float32))
+
+        def sweep(t, acc):
+            for color in (0, 1):
+                acc = jax.lax.fori_loop(
+                    0, S, lambda s, a: plaquette_pass(color, s, a, which=0), acc)
+            for color in (0, 1):
+                acc = jax.lax.fori_loop(
+                    0, S, lambda s, a: plaquette_pass(color, s, a, which=1), acc)
+            return wrapping_pass(acc)
+
+        acc = jax.lax.fori_loop(0, sweeps, sweep, jnp.float32(0.0))
+        acc_out[0] = jnp.full((8, 128), acc, jnp.float32)
+
+    return kernel
+
+
+def _rxn(x, shift):
+    """Lateral roll: result[.., j] = x[.., j+shift] for shift<0... matching the
+    monolithic kernel's convention ``_roll(x, shift % N, axis=1)``."""
+    return _roll(x, shift, 1)
+
+
+STRIP_THRESHOLD = 512
+
+
+def _strip_rows(N):
+    budget = 24 * 1024 * 1024 // (16 * N * 4)
+    Rb = 8
+    while Rb * 2 <= min(budget, 256) and N % (Rb * 2) == 0:
+        Rb *= 2
+    return Rb
+
+
 @partial(jax.jit, static_argnames=('N', 'kappa', 'W', 'interval_v', 'interval_t',
-                                   'interval_w', 'sweeps', 'interpret'))
+                                   'interval_w', 'sweeps', 'interpret', 'force_strips'))
 def worldline_sweeps(seed, m, v, *, N, kappa, W, interval_v=1, interval_t=1,
-                     interval_w=1, sweeps=1, interpret=False):
+                     interval_w=1, sweeps=1, interpret=False, force_strips=False):
     """Run ``sweeps`` fused worldline local-update sweeps on a chain batch.
 
     Parameters
@@ -165,18 +329,28 @@ def worldline_sweeps(seed, m, v, *, N, kappa, W, interval_v=1, interval_t=1,
     (m, v, accepted): updated fields and per-chain accepted counts (B,).
     """
     B = m.shape[0]
-    kernel = _make_kernel(N, kappa, W, interval_v, interval_t, interval_w, sweeps)
     m_spec = pl.BlockSpec((1, 2, N, N), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM)
     v_spec = pl.BlockSpec((1, 1, N, N), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM)
+    a_spec = pl.BlockSpec((1, 8, 128), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    if N >= STRIP_THRESHOLD or force_strips:
+        kernel = _make_strip_kernel(N, _strip_rows(N), kappa, W, interval_v,
+                                    interval_t, interval_w, sweeps)
+        scratch = [pltpu.VMEM((N, N), jnp.float32), pltpu.VMEM((N, N), jnp.float32)]
+        params = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+    else:
+        kernel = _make_kernel(N, kappa, W, interval_v, interval_t, interval_w, sweeps)
+        scratch = []
+        params = None
     out_m, out_v, acc = pl.pallas_call(
         kernel,
         grid=(B,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM), m_spec, v_spec],
-        out_specs=(m_spec, v_spec,
-                   pl.BlockSpec((1, 8, 128), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)),
+        out_specs=(m_spec, v_spec, a_spec),
         out_shape=(jax.ShapeDtypeStruct(m.shape, jnp.int32),
                    jax.ShapeDtypeStruct(v.shape, jnp.int32),
                    jax.ShapeDtypeStruct((B, 8, 128), jnp.float32)),
+        scratch_shapes=scratch,
+        **({'compiler_params': params} if params is not None else {}),
         interpret=interpret,
     )(jnp.asarray(seed, jnp.int32).reshape(1), m, v)
     return out_m, out_v, acc[:, 0, 0]

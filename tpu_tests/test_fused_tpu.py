@@ -171,3 +171,78 @@ def test_fused_kernel_statistics_zero_inflated():
     mb, eb = xla_S.mean(), xla_S.std() / np.sqrt(B)
     pull = abs(ma - mb) / np.hypot(ea, eb)
     assert pull < 5, f'pallas {ma}({ea}) vs xla {mb}({eb}): pull {pull}'
+
+
+@requires_tpu
+def test_villain_strip_kernel_matches_monolithic():
+    """The strip-chunked kernel body (used for L>=512) samples the same
+    distribution as the monolithic body, checked at a size where both run."""
+    from supervillain_tpu.ops.pallas_sweep import neighborhood_sweeps
+    N, B = 128, 32
+    kappa = 0.5
+    S = sv.Villain(sv.Lattice2D(N), kappa, W=1)
+    dens = _villain_density(S)
+
+    out = {}
+    for label, force in (('mono', False), ('strip', True)):
+        phi = jnp.zeros((B, 1, N, N), jnp.float32)
+        n = jnp.zeros((B, 2, N, N), jnp.int32)
+        phi, n, _, _ = neighborhood_sweeps(jnp.int32(5), phi, n, N=N, kappa=kappa,
+                                           W=1, interval_phi=0.7, interval_n=1,
+                                           p_n=0.05, sweeps=600, force_strips=force)
+        phi, n, acc, inline = neighborhood_sweeps(jnp.int32(6), phi, n, N=N,
+                                                  kappa=kappa, W=1, interval_phi=0.7,
+                                                  interval_n=1, p_n=0.05, sweeps=100,
+                                                  force_strips=force)
+        assert S.valid({'n': np.asarray(n[0])})
+        out[label] = (np.asarray(dens(phi, n)),
+                      float(acc.sum()) / (B * N * N * 100),
+                      float(inline['ActionDensity'].mean()))
+
+    (sa, acc_a, in_a), (sb, acc_b, in_b) = out['mono'], out['strip']
+    assert abs(acc_a - acc_b) < 0.01, f'acceptance {acc_a} vs {acc_b}'
+    pull = abs(sa.mean() - sb.mean()) / np.hypot(sa.std() / np.sqrt(len(sa)),
+                                                 sb.std() / np.sqrt(len(sb)))
+    assert pull < 5, f'mono {sa.mean()} vs strip {sb.mean()}: pull {pull}'
+    # Inline observables measured in-kernel agree with the end-state density.
+    assert abs(in_a - sa.mean()) < 0.02 * abs(sa.mean()) + 1e-3
+    assert abs(in_b - sb.mean()) < 0.02 * abs(sb.mean()) + 1e-3
+
+
+@requires_tpu
+def test_worldline_strip_kernel_matches_monolithic():
+    from supervillain_tpu.ops.pallas_worldline import worldline_sweeps
+    N, B = 128, 32
+    kappa = 0.5
+    S = sv.Worldline(sv.Lattice2D(N), kappa, W=2)
+    dens = _worldline_density(S)
+
+    out = {}
+    for label, force in (('mono', False), ('strip', True)):
+        m = jnp.zeros((B, 2, N, N), jnp.int32)
+        v = jnp.zeros((B, 1, N, N), jnp.int32)
+        m, v, _ = worldline_sweeps(jnp.int32(5), m, v, N=N, kappa=kappa, W=2,
+                                   sweeps=100, force_strips=force)
+        m, v, acc = worldline_sweeps(jnp.int32(6), m, v, N=N, kappa=kappa, W=2,
+                                     sweeps=50, force_strips=force)
+        assert S.valid({'m': np.asarray(m[0])})
+        out[label] = (np.asarray(dens(m, v)), float(acc.sum()))
+
+    (la, acc_a), (lb, acc_b) = out['mono'], out['strip']
+    pull = abs(la.mean() - lb.mean()) / np.hypot(la.std() / np.sqrt(len(la)),
+                                                 lb.std() / np.sqrt(len(lb)))
+    assert pull < 5, f'mono {la.mean()} vs strip {lb.mean()}: pull {pull}'
+
+
+@requires_tpu
+def test_worldline_strip_kernel_large_lattice():
+    """The L=512 worldline fused path (strip kernel by dispatch) runs and keeps
+    the constraint."""
+    from supervillain_tpu.ops.pallas_worldline import worldline_sweeps
+    N, B = 512, 4
+    S = sv.Worldline(sv.Lattice2D(N), 0.5, W=2)
+    m = jnp.zeros((B, 2, N, N), jnp.int32)
+    v = jnp.zeros((B, 1, N, N), jnp.int32)
+    m, v, acc = worldline_sweeps(jnp.int32(7), m, v, N=N, kappa=0.5, W=2, sweeps=30)
+    assert S.valid({'m': np.asarray(m[0])})
+    assert float(acc.sum()) > 0
