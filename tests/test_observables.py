@@ -158,3 +158,99 @@ def test_autocorrelation_mixins(villain_ensemble, worldline_ensemble):
     S1 = sv.Villain(sv.Lattice2D(4), 0.5, W=1)
     e1 = sv.Ensemble(S1).generate(5, gv.SiteUpdate(S1), seed=1)
     assert not registry['Vortex_Vortex'].autocorrelation(e1)  # W=1 excluded
+
+
+# ---------------------------------------------------------------------------
+# D=4 topological battery (depth mirroring /root/reference/test/
+# test_topological_charge.py's properties; independent constructions).
+# ---------------------------------------------------------------------------
+
+def _dipole(L):
+    """Integer 1-form whose charge is a single +1/-1 pair."""
+    n = np.zeros(L.form_shape(1), dtype=np.int64)
+    origin = (0,) * L.D
+    n[(L.comp_index[1][(0,)],) + origin] = 1
+    shifted = (1,) + (0,) * (L.D - 1)
+    n[(L.comp_index[1][(1,)],) + shifted] = 1
+    return n
+
+
+def _slow_correlation(L, f, g):
+    """FFT-free real-space (1/Λ) Σ_x f(x) g(x-Δx)."""
+    f = np.asarray(f)
+    g = np.asarray(g)
+    axes = tuple(range(L.D))
+    C = np.zeros(L.dims)
+    for shift in np.ndindex(*L.dims):
+        C[shift] = (f * np.roll(g, shift, axis=axes)).sum() / L.sites
+    return C
+
+
+@pytest.fixture(scope='module')
+def top4():
+    from supervillain_tpu.observables import topological as topo
+    L = sv.Lattice(4, 3)
+    S = sv.Villain(L, 0.7, W=1)
+    rng = np.random.default_rng(20260820)
+    n = rng.integers(-2, 3, L.form_shape(1))
+    return topo, L, S, n
+
+
+def test_topological_density_equals_exact_form(top4):
+    """q = dn∧dn computed by the observable must equal the genuinely different
+    operation order d(n∧dn) (equal by Leibniz since ddn = 0) — and therefore
+    sum to zero over the closed lattice."""
+    from supervillain_tpu.ops import calculus as calc
+    topo, L, S, n = top4
+    q = np.asarray(topo.TopologicalChargeDensity.Villain(S, jnp.asarray(n)))
+    assert q.shape == L.dims
+    n_wedge_dn = calc.wedge(L, 1, jnp.asarray(n), 2, calc.d(L, 1, jnp.asarray(n)))
+    exact = np.asarray(calc.d(L, 3, n_wedge_dn)).sum(axis=0)
+    assert np.array_equal(q, exact)
+    assert q.sum() == 0
+
+
+def test_topological_density_scales_quadratically(top4):
+    topo, L, S, n = top4
+    base = np.asarray(topo.TopologicalChargeDensity.Villain(S, jnp.asarray(n)))
+    for c in (2, 3, -2):
+        scaled = np.asarray(topo.TopologicalChargeDensity.Villain(S, jnp.asarray(c * n)))
+        assert np.array_equal(scaled, c ** 2 * base)
+
+
+def test_topological_density_dipole(top4):
+    topo, L, S, _ = top4
+    q = np.asarray(topo.TopologicalChargeDensity.Villain(S, jnp.asarray(_dipole(L))))
+    assert np.array_equal(np.sort(q[q != 0]), [-1, 1])
+    assert q.sum() == 0
+    # q² is 1 on exactly two 4-cells: ⟨q²⟩ = 2/Λ.
+    sq = float(topo.TopologicalChargeDensitySquared.Villain(S, jnp.asarray(q)))
+    assert np.isclose(sq, 2 / L.sites, rtol=1e-6)  # observable averages in f32
+    # Vacuum: identically zero.
+    q0 = np.asarray(topo.TopologicalChargeDensity.Villain(
+        S, jnp.zeros(L.form_shape(1), jnp.int32)))
+    assert not q0.any()
+
+
+def test_topological_two_point_matches_brute_force(top4):
+    topo, L, S, n = top4
+    q = topo.TopologicalChargeDensity.Villain(S, jnp.asarray(n))
+    tp = np.asarray(topo.TopologicalTwoPoint.Villain(S, q)).real
+    brute = _slow_correlation(L, q, q)
+    assert np.allclose(tp, brute, atol=1e-8)
+    # Origin value is ⟨q²⟩; total sums to zero because total charge vanishes.
+    assert np.isclose(tp[(0,) * 4],
+                      float(topo.TopologicalChargeDensitySquared.Villain(S, q)))
+    # Σ_Δx C(Δx) = (Σ_x q_x)²/Λ = 0 identically (total charge vanishes);
+    # f32 FFT noise on O(300) entries leaves ~1e-4 absolute residue.
+    assert abs(tp.sum()) < 1e-3
+
+
+def test_topological_finite_w_and_infinite_w(top4):
+    """The observables measure at any W; the density formula is W-independent
+    (it consumes n only)."""
+    topo, L, _, n = top4
+    for W in (2, 3, float('inf')):
+        S = sv.Villain(L, 0.7, W)
+        q = np.asarray(topo.TopologicalChargeDensity.Villain(S, jnp.asarray(W if W < float('inf') else 1) * jnp.asarray(n)))
+        assert q.sum() == 0
