@@ -71,6 +71,7 @@ class Ensemble:
             cfg = {k: jnp.asarray(start[k]) for k in S.fields}
         else:
             raise ValueError(f'Not sure how to start from a {type(start)}.')
+        cfg = generator.prepare(cfg)
 
         stats = generator.init_stats()
 

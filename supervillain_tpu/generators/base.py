@@ -73,6 +73,14 @@ class Generator:
     def step(self, key, cfg, stats):  # pragma: no cover - abstract
         raise NotImplementedError
 
+    def prepare(self, cfg):
+        """Add any generator-carried state to the starting configuration.
+
+        Called once before a chain starts so that the scan carry's pytree
+        structure is static (e.g. :class:`~.villain.ChunkedWorm` carries its
+        open-worm head/tail between steps).  Default: no extra state."""
+        return cfg
+
     # -- bookkeeping helpers ----------------------------------------------
 
     def _tally(self, stats, accepted, proposed, acceptance, sweeps=1.0):

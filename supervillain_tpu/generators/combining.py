@@ -46,6 +46,11 @@ class Sequentially(Generator):
             shapes.update(g.inline_shapes())
         return shapes
 
+    def prepare(self, cfg):
+        for g in self.generators:
+            cfg = g.prepare(cfg)
+        return cfg
+
     def step(self, key, cfg, stats):
         inline = {}
         for i, (g, tag) in enumerate(zip(self.generators, self._tags)):
@@ -79,6 +84,9 @@ class KeepEvery(Generator):
 
     def inline_shapes(self):
         return self.generator.inline_shapes()
+
+    def prepare(self, cfg):
+        return self.generator.prepare(cfg)
 
     def step(self, key, cfg, stats):
         shapes = self.generator.inline_shapes()

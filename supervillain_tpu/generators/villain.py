@@ -389,9 +389,141 @@ class ClassicWorm(Generator):
                 f'{float(s["accepted"]) / worms:.3f}')
 
 
-def Hammer(S, worms=1):
+class ChunkedWorm(Generator):
+    r"""Bounded-chunk multi-worm batching: the classic worm's move sequence,
+    time-sliced into exactly ``moves_per_step`` micro-moves per step, with the
+    open-worm state (head, tail, orientation) carried in the configuration
+    between steps.  When the 20%-conditional close fires, a *new* worm starts
+    immediately (fresh tail/head/orientation) inside the same chunk.
+
+    Villain D=2, **W=1 only**.  At W=1 every configuration is physically valid
+    (the dn ≡ 0 mod 1 constraint is trivial), and each micro-move satisfies
+    detailed balance with respect to e^{-S(φ,n)} x uniform(head, tail): the
+    Metropolis move's forward/reverse proposal probabilities are both
+    0.8·(1/4), and the close+restart move resamples (head, tail, orientation)
+    uniformly without touching the fields.  The extended chain's stationary
+    fields-marginal is therefore exactly the Gibbs measure at *every* move, so
+    fixed-stride emission is unbiased — unlike at W>1, where open worms carry
+    a constraint defect and only closed configurations may be emitted
+    (use :class:`ClassicWorm` there).
+
+    Why this exists: under ``vmap`` over a fleet, :class:`ClassicWorm`'s
+    ``while_loop`` runs until the *slowest* chain closes, so every step pays
+    max-worm-length x (batched-scatter latency) — measured at ~57% of the full
+    Hammer step wall-clock at L=64 with 1024 chains (benchmark/worm_cost.py).
+    A fixed trip count removes the divergence entirely and makes the worm's
+    cost deterministic and tunable.
+
+    Tallies the same inline ``Vortex_Vortex`` histogram and ``Worm_Length``
+    (moves tallied this step); ``sweeps`` in the stats counts completed worms.
+    """
+
+    name = 'ClassicWorm'  # same transition-kernel family; same stats tag
+    fields = ('phi', 'n')
+
+    _moves = ClassicWorm._moves
+    _link_dir = ClassicWorm._link_dir
+    _link_off = ClassicWorm._link_off
+    _plaquette = ClassicWorm._plaquette
+
+    def __init__(self, action, moves_per_step=8):
+        _require_villain(action)
+        if action.Lattice.D != 2:
+            raise NotImplementedError('ChunkedWorm is only implemented for D=2')
+        if action.W != 1:
+            raise ValueError(
+                'ChunkedWorm emits on a fixed stride, which is only unbiased at W=1 '
+                '(open worms are valid configurations there); use ClassicWorm for W>1.')
+        self.Action = action
+        self.Lattice = action.Lattice
+        self.moves_per_step = int(moves_per_step)
+
+    def inline_shapes(self):
+        L = self.Lattice
+        return {'Vortex_Vortex': ((L.N, L.N), jnp.zeros(()).dtype),
+                'Worm_Length': ((), jnp.zeros(()).dtype)}
+
+    def prepare(self, cfg):
+        if 'worm' in cfg:
+            return cfg
+        # Deterministic initial extended state (head = tail = origin, +1
+        # orientation): an initial condition, not a kernel move, so it cannot
+        # bias the stationary distribution.
+        return cfg | {'worm': jnp.array([0, 0, 0, 0, 1], jnp.int32)}
+
+    def step(self, key, cfg, stats):
+        S, L = self.Action, self.Lattice
+        N = L.N
+        T = self.moves_per_step
+        phi, n = cfg['phi'], cfg['n']
+        fdt = phi.dtype
+        dphi = calc.d(L, 0, phi)
+        ws = cfg['worm']
+
+        moves = jnp.asarray(self._moves)
+        link_dir = jnp.asarray(self._link_dir)
+        link_off = jnp.asarray(self._link_off)
+        plaquette = jnp.asarray(self._plaquette, dtype=n.dtype)
+
+        ku, kc, kr, ko = jax.random.split(key, 4)
+        u = jax.random.uniform(ku, (T, 2), dtype=fdt)           # close, accept
+        choices = jax.random.randint(kc, (T,), 0, 4)
+        restarts = jax.random.randint(kr, (T, 4), 0, N)          # tail_t,x, head_t,x
+        orients = jnp.where(jax.random.bernoulli(ko, 0.5, (T,)), 1, -1).astype(n.dtype)
+
+        def body(i, state):
+            n, ws, hist, closes = state
+            head, tail, orientation = ws[:2], ws[2:4], ws[4].astype(n.dtype)
+            close_now = u[i, 0] >= 0.8                           # W=1: always closed
+
+            choice = choices[i]
+            next_head = jnp.mod(head + moves[choice], N)
+            ld = link_dir[choice]
+            lpos = jnp.mod(head + link_off[choice], N)
+            dn = orientation * plaquette[choice]
+
+            link_val = dphi[ld, lpos[0], lpos[1]] - TWO_PI * n[ld, lpos[0], lpos[1]]
+            dS = (S.kappa / 2) * (-TWO_PI * dn) * (2 * link_val - TWO_PI * dn)
+            accept = (u[i, 1] < jnp.clip(jnp.exp(-dS), max=1.0)) & ~close_now
+
+            n = n.at[ld, lpos[0], lpos[1]].add(jnp.where(accept, dn, 0))
+            head = jnp.where(accept, next_head, head)
+
+            disp = jnp.mod(head - tail, N)
+            hist = jnp.where(close_now, hist, hist.at[disp[0], disp[1]].add(1.0))
+
+            # Close + restart: fresh worm within the same chunk.
+            tail = jnp.where(close_now, restarts[i, :2], tail)
+            head = jnp.where(close_now, restarts[i, 2:], head)
+            orientation = jnp.where(close_now, orients[i], orientation)
+            ws = jnp.concatenate([head, tail, orientation[None]]).astype(jnp.int32)
+            closes = closes + jnp.where(close_now, 1.0, 0.0)
+            return n, ws, hist, closes
+
+        hist0 = jnp.zeros((N, N), dtype=fdt)
+        n, ws, hist, closes = jax.lax.fori_loop(
+            0, T, body, (n, ws, hist0, jnp.zeros((), fdt)))
+
+        wl = hist.sum()
+        stats = self._tally(stats, wl, wl, jnp.ones((), fdt), sweeps=closes)
+        return cfg | {'n': n, 'worm': ws}, stats, {'Vortex_Vortex': hist, 'Worm_Length': wl}
+
+    def report(self, stats=None):
+        stats = stats if stats is not None else getattr(self, '_stats', self.init_stats())
+        s = stats[self.name]
+        worms = max(float(s['sweeps']), 1.0)
+        return (f'ChunkedWorm: {worms:.0f} worms, mean length '
+                f'{float(s["accepted"]) / worms:.3f}')
+
+
+def Hammer(S, worms=1, worm_moves=None):
     """Ergodic composite for the Villain action (reference villain/__init__.py:10-63):
-    Sequentially(Site, [Link if W<∞], Exact, Cohomology, [Worm if D==2])."""
+    Sequentially(Site, [Link if W<∞], Exact, Cohomology, [Worm if D==2]).
+
+    ``worm_moves``: at W=1, replace the data-dependent-length :class:`ClassicWorm`
+    with a :class:`ChunkedWorm` doing exactly that many micro-moves per step —
+    the fleet-friendly variant whose cost does not scale with the slowest
+    chain's worm (see benchmark/worm_cost.py)."""
     _require_villain(S)
     parts = [SiteUpdate(S)]
     if S.W < float('inf'):
@@ -399,6 +531,9 @@ def Hammer(S, worms=1):
     parts.append(ExactUpdate(S))
     parts.append(CohomologyUpdate(S))
     if S.Lattice.D == 2:
-        worm = ClassicWorm(S)
-        parts.append(KeepEvery(worms, worm) if worms > 1 else worm)
+        if worm_moves is not None and S.W == 1:
+            parts.append(ChunkedWorm(S, moves_per_step=worm_moves))
+        else:
+            worm = ClassicWorm(S)
+            parts.append(KeepEvery(worms, worm) if worms > 1 else worm)
     return Sequentially(parts)

@@ -92,3 +92,54 @@ class FusedNeighborhoodUpdate(Generator):
         # Inline observables measured in-kernel, averaged over the launch's sweeps
         # (a blocked inline measurement, like KeepEvery(blocked_inline=True)).
         return out, stats, {k: v[0] for k, v in inline.items()}
+
+
+class FusedClassicWorm(Generator):
+    """In-kernel classic worm (:mod:`supervillain_tpu.ops.pallas_worm`): each
+    chain's worm loop runs sequentially inside one Pallas program with the link
+    residuals VMEM-resident — no cross-chain lock-step, so a fleet step costs
+    mean (not max) worm work.  Same move semantics as
+    :class:`~.villain.ClassicWorm` (statistical PRNG-stream difference only);
+    measured ~5 μs per move on a v5e at small N, amortizing with ``worms`` per
+    launch.  TPU-only D=2; on other backends falls back to the XLA worm."""
+
+    name = 'ClassicWorm'
+    fields = ('phi', 'n')
+
+    def __init__(self, action, worms=1):
+        if not isinstance(action, Villain):
+            raise ValueError('Need a Villain action')
+        if action.Lattice.D != 2:
+            raise NotImplementedError('ClassicWorm is only implemented for D=2')
+        self.Action = action
+        self.Lattice = action.Lattice
+        self.worms = int(worms)
+        self._fallback = None
+        if jax.default_backend() in ('cpu',):
+            from .villain import ClassicWorm
+            from .combining import KeepEvery
+            worm = ClassicWorm(action)
+            self._fallback = KeepEvery(worms, worm) if worms > 1 else worm
+
+    def inline_shapes(self):
+        L = self.Lattice
+        return {'Vortex_Vortex': ((L.N, L.N), jnp.zeros(()).dtype),
+                'Worm_Length': ((), jnp.zeros(()).dtype)}
+
+    def step(self, key, cfg, stats):
+        if self._fallback is not None:
+            return self._fallback.step(key, cfg, stats)
+        from ..ops.pallas_worm import classic_worms
+        S, L = self.Action, self.Lattice
+        seed = jax.random.randint(key, (), 0, np.int32(2 ** 31 - 1), dtype=jnp.int32)
+        phi = cfg['phi'].astype(jnp.float32)[None]
+        n = cfg['n'].astype(jnp.int32)[None]
+        n_out, hist, wl = classic_worms(seed, phi, n, N=L.N, kappa=S.kappa,
+                                        W=1 if S.W == 1 else int(S.W),
+                                        worms=self.worms)
+        stats = self._tally(stats, wl[0], wl[0], jnp.ones((), jnp.float32),
+                            sweeps=float(self.worms))
+        out = dict(cfg)
+        out['n'] = n_out[0].astype(cfg['n'].dtype)
+        return out, stats, {'Vortex_Vortex': hist[0].astype(cfg['phi'].dtype),
+                            'Worm_Length': wl[0].astype(cfg['phi'].dtype)}

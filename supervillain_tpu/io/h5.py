@@ -77,6 +77,7 @@ _SPEC_ARGS = {
     'PlaquetteUpdate': (),
     'FusedWorldlineUpdate': ('interval_v', 'interval_t', 'interval_w', 'sweeps_per_step'),
     'ClassicWorm': (),
+    'ChunkedWorm': ('moves_per_step',),
     'DoNothing': (),
 }
 

@@ -109,6 +109,7 @@ def sample_fleet(action, generator, *, chains, steps, thin=1, seed=0, mesh=None,
         cfg0 = action.initial()
     else:
         cfg0 = {k: jnp.asarray(start[k]) for k in action.fields}
+    cfg0 = generator.prepare(cfg0)
     cfgs = jax.tree.map(lambda x: jnp.broadcast_to(x, (chains,) + x.shape), cfg0)
     stats = jax.tree.map(lambda x: jnp.broadcast_to(x, (chains,) + x.shape),
                          generator.init_stats())

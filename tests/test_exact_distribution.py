@@ -107,3 +107,72 @@ def test_exact_enumeration_sanity():
     wrap_weight = np.exp(-1 / KAPPA)
     assert np.isclose(np.sort(weights)[-2], wrap_weight)
     assert weights.max() / Z < 1  # nonzero states carry real mass
+
+
+# -- Villain worm equilibrium (classic and chunked) -------------------------
+
+VKAPPA = 0.06  # 2π²κ ≈ 1.18: n = ±1 links carry real mass, ±2 negligible-ish
+
+
+def _enumerate_villain_n(L, cutoff):
+    """All integer 1-forms n with |n_ℓ| ≤ cutoff on the 2×2 lattice with their
+    weights under S = (κ/2) Σ_ℓ (2π n_ℓ)² (φ frozen at 0).  At W=1 there is no
+    constraint, so the worm alone is ergodic on n."""
+    n_links = 2 * L.sites
+    vals = np.arange(-cutoff, cutoff + 1)
+    grids = np.meshgrid(*([vals] * n_links), indexing='ij')
+    n = np.stack([g.ravel() for g in grids], axis=-1).reshape(-1, 2, L.N, L.N)
+    weights = np.exp(-(VKAPPA / 2) * ((2 * np.pi * n) ** 2).sum(axis=(1, 2, 3)))
+    return n, weights
+
+
+def _chi2_against(prob_of, counts, n_draws):
+    chi2, dof, pooled_obs, pooled_exp = 0.0, 0, 0, 0.0
+    for k, p in prob_of.items():
+        exp = p * n_draws
+        obs = counts.get(k, 0)
+        if exp >= 5:
+            chi2 += (obs - exp) ** 2 / exp
+            dof += 1
+        else:
+            pooled_obs += obs
+            pooled_exp += exp
+    if pooled_exp > 0:
+        chi2 += (pooled_obs - pooled_exp) ** 2 / pooled_exp
+        dof += 1
+    return chi2, dof - 1
+
+
+@pytest.mark.parametrize('worm', ['classic', 'chunked'])
+def test_villain_worm_samples_exact_distribution(worm):
+    """χ² of the worm-only chain (φ frozen) against the enumerated Boltzmann
+    distribution of n — run for both the data-dependent-length ClassicWorm and
+    the fixed-trip-count ChunkedWorm, whose fixed-stride emission is exactly
+    unbiased at W=1 (see generators/villain.py:ChunkedWorm)."""
+    from supervillain_tpu.generators import villain as gv
+
+    L = sv.Lattice2D(2)
+    S = sv.Villain(L, VKAPPA, W=1)
+    G = gv.ClassicWorm(S) if worm == 'classic' else gv.ChunkedWorm(S, moves_per_step=12)
+
+    forms, weights = _enumerate_villain_n(L, cutoff=2)
+    probs = weights / weights.sum()
+    prob_of = dict(zip((f.tobytes() for f in forms.astype(np.int8)), probs))
+
+    fleet = sample_fleet(S, G, chains=64, steps=100, thin=4, seed=11)
+    cut = 20
+    ns = fleet.columns['n'][cut:].reshape(-1, 2, 2, 2).astype(np.int8)
+    assert np.abs(ns).max() <= 3, 'sampled n far outside enumeration cutoff'
+
+    # Rare |n|=3 excursions fall outside the enumeration; their total mass is
+    # O(e^{-9·2π²κ}) — fold them into the pooled χ² bin via a sentinel key.
+    counts = {}
+    for x in ns:
+        k = x.tobytes() if np.abs(x).max() <= 2 else b'overflow'
+        counts[k] = counts.get(k, 0) + 1
+    prob_of = dict(prob_of)
+    prob_of[b'overflow'] = 16 * np.exp(-(VKAPPA / 2) * (2 * np.pi * 3) ** 2)
+
+    chi2, dof = _chi2_against(prob_of, counts, ns.shape[0])
+    assert dof >= 5, f'too few populated bins ({dof})'
+    assert chi2 / dof < 3.5, f'chi2/dof = {chi2 / dof:.2f} over {dof} bins'

@@ -212,3 +212,43 @@ def test_hammer_high_dimension():
     SW = sv.Worldline(sv.Lattice(4, 4), 0.5, W=1)
     e = sv.Ensemble(SW).generate(2, gw.Hammer(SW), seed=2)
     assert all(SW.valid({'m': e.m[i]}) for i in range(2))
+
+
+def test_chunked_worm_in_hammer():
+    """Hammer(worm_moves=T) swaps the while-loop worm for the fixed-trip-count
+    ChunkedWorm; the worm state rides in the configuration, the chain stays
+    deterministic, and fleets carry it per chain."""
+    L = sv.Lattice2D(4)
+    S = sv.Villain(L, 0.5, W=1)
+    G = gv.Hammer(S, worm_moves=8)
+    names = [type(g).__name__ for g in G.generators]
+    assert 'ChunkedWorm' in names
+
+    e1 = sv.Ensemble(S).generate(20, G, seed=42)
+    e2 = sv.Ensemble(S).generate(20, gv.Hammer(S, worm_moves=8), seed=42)
+    assert (e1.n == e2.n).all()
+    assert e1.configuration.worm.shape == (20, 5)
+    assert {'Vortex_Vortex', 'Worm_Length'} <= set(e1.configuration.keys())
+
+    from supervillain_tpu.parallel.fleet import sample_fleet
+    fleet = sample_fleet(S, gv.Hammer(S, worm_moves=8), chains=6, steps=5, seed=3)
+    assert fleet.columns['worm'].shape == (5, 6, 5)
+
+
+def test_chunked_worm_rejects_w_gt_1():
+    S = sv.Villain(sv.Lattice2D(4), 0.5, W=2)
+    with pytest.raises(ValueError):
+        gv.ChunkedWorm(S)
+    # Hammer silently keeps the classic worm at W>1.
+    G = gv.Hammer(S, worm_moves=8)
+    assert 'ChunkedWorm' not in [type(g).__name__ for g in G.generators]
+
+
+def test_chunked_worm_spec_roundtrip():
+    from supervillain_tpu.io.h5 import generator_spec, generator_from_spec
+    S = sv.Villain(sv.Lattice2D(4), 0.5, W=1)
+    g = gv.ChunkedWorm(S, moves_per_step=13)
+    spec = generator_spec(g)
+    g2 = generator_from_spec(spec, S)
+    assert type(g2).__name__ == 'ChunkedWorm' and g2.moves_per_step == 13
+    assert generator_spec(g2) == spec
