@@ -73,7 +73,14 @@ class Ensemble:
             raise ValueError(f'Not sure how to start from a {type(start)}.')
         cfg = generator.prepare(cfg)
 
-        stats = generator.init_stats()
+        # Accumulate into the generator's lifetime stats when it already has
+        # some (reference generators are stateful accumulators, so a continued
+        # chain's report() covers the whole history, not just the last segment).
+        stats = getattr(generator, '_stats', None)
+        if stats is not None:
+            stats = jax.tree.map(jnp.asarray, stats)
+        else:
+            stats = generator.init_stats()
 
         def body(carry, k):
             cfg, stats = carry
@@ -118,6 +125,11 @@ class Ensemble:
         self.generator = generator
         generator._stats = jax.tree.map(np.asarray, stats)
         self._final = {k: np.asarray(v) for k, v in cfg.items()}
+        # The carried key was split once per chunk; what remains is fresh and
+        # unused.  Persisting it lets continue_from resume the *same* PRNG
+        # stream instead of re-deriving a seed from the chain length (which
+        # replayed identical proposal streams for equal-length extensions).
+        self._next_key = np.asarray(jax.random.key_data(key))
 
         for line in generator.report().split('\n'):
             logger.info(line)
@@ -165,7 +177,13 @@ class Ensemble:
         last = getattr(e, '_final', None) or e.configuration[-1]
         last = {k: last[k] for k in action.fields}
         index = e.index[-1] + e.index_stride
-        seed = getattr(e, '_next_seed', len(e) + 1)
+        next_key = getattr(e, '_next_key', None)
+        if next_key is not None:
+            seed = jax.random.wrap_key_data(jnp.asarray(next_key))
+        else:
+            # Host-only (oracle) generators carry their own NumPy RNG; any
+            # chain without a stored key falls back to a length-derived seed.
+            seed = len(e) + 1
         return Ensemble(action).generate(steps, generator, start=last, seed=seed,
                                          progress=progress, starting_index=index,
                                          index_stride=e.index_stride)
@@ -252,6 +270,8 @@ class Ensemble:
             e.generator = self.generator
         if hasattr(self, '_final'):
             e._final = self._final
+        if hasattr(self, '_next_key'):
+            e._next_key = self._next_key
         return e
 
     def every(self, stride):
@@ -268,6 +288,8 @@ class Ensemble:
             e.generator = KeepEvery(stride, self.generator, blocked_inline=False)
         if hasattr(self, '_final'):
             e._final = self._final
+        if hasattr(self, '_next_key'):
+            e._next_key = self._next_key
         return e
 
     # -- plotting ------------------------------------------------------------

@@ -87,7 +87,10 @@ def generator_spec(g):
     from ..generators.combining import Sequentially, KeepEvery
     from ..generators.monitor import Logger
     if isinstance(g, Sequentially):
-        return {'cls': 'Sequentially', 'generators': [generator_spec(x) for x in g.generators]}
+        # Persist the de-duplicated stats tags so that stats accumulated under
+        # suffixed tags (two same-named sub-generators) reconcile on reload.
+        return {'cls': 'Sequentially', 'generators': [generator_spec(x) for x in g.generators],
+                'tags': list(g._tags)}
     if isinstance(g, KeepEvery):
         return {'cls': 'KeepEvery', 'n': g.n, 'blocked_inline': g.blocked_inline,
                 'generator': generator_spec(g.generator)}
@@ -105,7 +108,11 @@ def generator_from_spec(spec, action):
     from ..generators import base as gbase, villain as gvillain, worldline as gworldline
     cls = spec['cls']
     if cls == 'Sequentially':
-        return Sequentially([generator_from_spec(s, action) for s in spec['generators']])
+        seq = Sequentially([generator_from_spec(s, action) for s in spec['generators']])
+        if 'tags' in spec and list(spec['tags']) != seq._tags:
+            seq._tags = list(spec['tags'])
+            seq.name = 'Sequentially(' + ', '.join(seq._tags) + ')'
+        return seq
     if cls == 'KeepEvery':
         return KeepEvery(spec['n'], generator_from_spec(spec['generator'], action),
                          blocked_inline=spec['blocked_inline'])
@@ -181,6 +188,15 @@ def ensemble_to_h5(ensemble, group):
 
     if hasattr(ensemble, 'generator'):
         group.attrs['generator'] = json.dumps(generator_spec(ensemble.generator))
+        stats = getattr(ensemble.generator, '_stats', None)
+        if stats is not None:
+            import jax
+            group.attrs['generator_stats'] = json.dumps(
+                jax.tree.map(float, stats))
+
+    next_key = getattr(ensemble, '_next_key', None)
+    if next_key is not None:
+        group.create_dataset('next_key', data=np.asarray(next_key))
 
     from ..observables import registry
     measured = group.create_group('measured')
@@ -205,6 +221,10 @@ def ensemble_from_h5(group, strict=True):
         e._final = {k: np.asarray(group['final'][k]) for k in group['final']}
     if 'generator' in group.attrs:
         e.generator = generator_from_spec(json.loads(group.attrs['generator']), action)
+        if 'generator_stats' in group.attrs:
+            e.generator._stats = json.loads(group.attrs['generator_stats'])
+    if 'next_key' in group:
+        e._next_key = np.asarray(group['next_key'])
     if 'measured' in group:
         for name in group['measured']:
             e.__dict__[name] = _read_column(group['measured'][name])
@@ -226,6 +246,16 @@ def ensemble_extend_h5(ensemble, group):
         fg = group.create_group('final')
         for k, val in final.items():
             fg[k] = np.asarray(val)
+
+    next_key = getattr(ensemble, '_next_key', None)
+    if next_key is not None:
+        if 'next_key' in group:
+            del group['next_key']
+        group.create_dataset('next_key', data=np.asarray(next_key))
+    stats = getattr(getattr(ensemble, 'generator', None), '_stats', None)
+    if stats is not None:
+        import jax
+        group.attrs['generator_stats'] = json.dumps(jax.tree.map(float, stats))
     # Drop stale cached measurements: they no longer cover the extended chain.
     if 'measured' in group:
         del group['measured']

@@ -158,3 +158,54 @@ def test_bootstrap_h5_roundtrip(tmp_h5):
     b2 = sv.Bootstrap.from_h5(tmp_h5['boot'], e)
     assert (b2.indices == b.indices).all()
     assert np.allclose(b2.__dict__['ActionDensity'], vals)
+
+
+def test_continue_from_uses_carried_key(tmp_h5):
+    """generate(5)+continue(5) reproduces generate(10, chunk=5) exactly: the
+    continuation resumes the *same* PRNG stream (round-2 regression: the seed
+    was re-derived from the chain length, replaying identical proposal streams
+    for equal-length extensions)."""
+    S = sv.Villain(sv.Lattice2D(4), 0.5, W=1)
+    kwargs = dict(interval_phi=0.5, p_n=0.1)  # healthy acceptance on a 4x4
+    G = gv.NeighborhoodUpdate(S, **kwargs)
+    full = sv.Ensemble(S).generate(10, G, seed=7, chunk=5)
+    assert np.abs(np.asarray(full.phi)).max() > 0  # the chain actually moved
+
+    G2 = gv.NeighborhoodUpdate(S, **kwargs)
+    e1 = sv.Ensemble(S).generate(5, G2, seed=7)
+    e2 = sv.Ensemble.continue_from(e1, 5)
+    got_phi = np.concatenate([np.asarray(e1.phi), np.asarray(e2.phi)])
+    got_n = np.concatenate([np.asarray(e1.n), np.asarray(e2.n)])
+    assert (got_phi == np.asarray(full.phi)).all()
+    assert (got_n == np.asarray(full.n)).all()
+
+    # Two successive equal-length extensions draw from *different* streams.
+    e3 = sv.Ensemble.continue_from(e2, 5)
+    assert not (np.asarray(e3.phi) == np.asarray(e2.phi)).all()
+
+    # The carried key survives an H5 round-trip: continuing from the group
+    # yields the same chain as continuing in memory.
+    g = tmp_h5.create_group('ens')
+    e1.to_h5(g)
+    e2h = sv.Ensemble.continue_from(g, 5)
+    assert (np.asarray(e2h.phi) == np.asarray(e2.phi)).all()
+    assert (np.asarray(e2h.n) == np.asarray(e2.n)).all()
+
+
+def test_sequentially_duplicate_tags_roundtrip(tmp_h5):
+    """report() after an H5 reload matches the pre-save stats for a composite
+    with two same-named sub-generators (suffixed stats tags)."""
+    from supervillain_tpu.generators.combining import Sequentially
+    S = sv.Villain(sv.Lattice2D(4), 0.5, W=1)
+    G = Sequentially([gv.NeighborhoodUpdate(S, interval_phi=1.0),
+                      gv.NeighborhoodUpdate(S, interval_phi=2.5)])
+    assert G._tags == ['NeighborhoodUpdate', 'NeighborhoodUpdate#1']
+    e = sv.Ensemble(S).generate(8, G, seed=11)
+    before = G.report()
+    assert 'NeighborhoodUpdate#1' in before
+
+    g = tmp_h5.create_group('ens')
+    e.to_h5(g)
+    e2 = sv.Ensemble.from_h5(g)
+    assert e2.generator._tags == G._tags
+    assert e2.generator.report() == before
