@@ -5,8 +5,10 @@ from __future__ import annotations
 
 import numpy as np
 
+from ..io.data import ReadWriteable
 
-class Blocking:
+
+class Blocking(ReadWriteable):
     r"""Average ('block') the observables of consecutive configurations.
 
     Parameters

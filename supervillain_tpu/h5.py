@@ -19,8 +19,10 @@ from .io.h5 import (
     ensemble_from_h5,
     ensemble_extend_h5,
 )
+from .io.data import write, read, register, ReadWriteable, readwriteable_registry
 
 __all__ = [
     'action_from_h5', 'check_version', 'generator_spec', 'generator_from_spec',
     'ensemble_to_h5', 'ensemble_from_h5', 'ensemble_extend_h5',
+    'write', 'read', 'register', 'ReadWriteable', 'readwriteable_registry',
 ]

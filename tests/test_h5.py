@@ -17,6 +17,17 @@ def tmp_h5(tmp_path):
         yield f
 
 
+class _Opaque:
+    """No strategy applies: exercises the pickle fallback (module-level so
+    pickle can find it)."""
+
+    def __init__(self, x):
+        self.x = x
+
+    def __eq__(self, other):
+        return self.x == other.x
+
+
 def test_lattice_roundtrip(tmp_h5):
     L = sv.Lattice(3, 5)
     L.to_h5(tmp_h5.create_group('lattice'))
@@ -209,3 +220,86 @@ def test_sequentially_duplicate_tags_roundtrip(tmp_h5):
     e2 = sv.Ensemble.from_h5(g)
     assert e2.generator._tags == G._tags
     assert e2.generator.report() == before
+
+
+def test_generic_write_read_nested(tmp_h5):
+    """Arbitrary nested payloads round-trip through the generic strategy store
+    (the reference's h5.Data capability: np/list/tuple/dict/pickle fallback)."""
+    from supervillain_tpu.io import write, read
+
+    payload = {
+        'name': 'run-42',
+        'kappa': 0.74,
+        'steps': 10_000,
+        'converged': True,
+        'nothing': None,
+        'complex': 1.5 - 2.5j,
+        'tags': ['bkt', 'scan'],
+        'shape': (4, 4),
+        'history': np.arange(12.0).reshape(3, 4),
+        'winding': np.array([1, -2, 3]),
+        'nested': {'a': [np.ones(3), {'deep': (1, 2.5, 'x')}], 'b': b'\x00raw'},
+    }
+    write(tmp_h5, 'payload', payload)
+    got = read(tmp_h5['payload'])
+
+    assert got['name'] == payload['name']
+    assert got['kappa'] == payload['kappa']
+    assert got['steps'] == payload['steps'] and isinstance(got['steps'], int)
+    assert got['converged'] is True and isinstance(got['converged'], bool)
+    assert got['nothing'] is None
+    assert got['complex'] == payload['complex']
+    assert got['tags'] == payload['tags']
+    assert got['shape'] == payload['shape'] and isinstance(got['shape'], tuple)
+    assert (got['history'] == payload['history']).all()
+    assert got['winding'].dtype == payload['winding'].dtype
+    assert (got['nested']['a'][0] == 1).all()
+    assert got['nested']['a'][1]['deep'] == (1, 2.5, 'x')
+    assert got['nested']['b'] == b'\x00raw'
+
+
+def test_generic_write_read_nonstring_keys_and_pickle(tmp_h5):
+    from supervillain_tpu.io import write, read
+
+    payload = {(2, 4): 'geometry', 7: np.pi}
+    write(tmp_h5, 'oddkeys', payload)
+    assert read(tmp_h5['oddkeys']) == payload
+
+    write(tmp_h5, 'opaque', _Opaque([1, 2, 3]))  # pickle fallback
+    assert read(tmp_h5['opaque']) == _Opaque([1, 2, 3])
+
+
+def test_generic_dispatch_framework_classes(tmp_h5):
+    """Registered framework objects nest inside generic payloads and come back
+    through their own typed schema."""
+    from supervillain_tpu.io import write, read
+
+    S = sv.Villain(sv.Lattice2D(4), 0.5, W=1)
+    e = sv.Ensemble(S).generate(6, gv.NeighborhoodUpdate(S), seed=5)
+    write(tmp_h5, 'bundle', {'lattice': S.Lattice, 'action': S, 'ensemble': e,
+                             'note': 'framework objects inside a dict'})
+    got = read(tmp_h5['bundle'])
+    assert got['lattice'] == S.Lattice
+    assert got['action'] == S
+    assert len(got['ensemble']) == len(e)
+    assert (np.asarray(got['ensemble'].phi) == np.asarray(e.phi)).all()
+
+
+def test_blocking_h5_roundtrip(tmp_h5):
+    """Blocking persists (reference's Blocking is ReadWriteable,
+    /root/reference/supervillain/analysis/blocking.py:13)."""
+    S = sv.Villain(sv.Lattice2D(4), 0.5, W=1)
+    e = sv.Ensemble(S).generate(24, gv.Hammer(S), seed=13)
+    e.measure(['ActionDensity'])
+    b = sv.Blocking(e, width=4)
+    blocked = np.asarray(b.ActionDensity)  # cache a blocked observable
+
+    b.to_h5(tmp_h5.create_group('blocking'))
+    b2 = sv.Blocking.from_h5(tmp_h5['blocking'])
+    assert b2.width == b.width and b2.blocks == b.blocks and b2.drop == b.drop
+    assert (b2.weight == b.weight).all()
+    assert np.allclose(np.asarray(b2.__dict__['ActionDensity']), blocked)
+    assert len(b2.Ensemble) == len(e)
+    # Observables still forward through the reloaded inner ensemble.
+    assert np.allclose(np.asarray(b2.InternalEnergyDensity),
+                       np.asarray(b.InternalEnergyDensity))
