@@ -296,7 +296,19 @@ class ClassicWorm(Generator):
     to the z sector.  Tallies the inline ``Vortex_Vortex`` histogram and ``Worm_Length``.
 
     Pure ``lax.while_loop`` kernel with data-dependent trip count; vmaps over chains.
-    Not ergodic alone (never changes φ or dn)."""
+    Not ergodic alone (never changes φ or dn).
+
+    ``max_moves`` bounds the trip count (fleet safety: under ``vmap`` every step
+    waits for the *slowest* chain's worm, so an unbounded worm over many chains
+    at W>1 has effectively unbounded step time).  A worm that has not closed
+    after ``max_moves`` moves is rolled back (at W≠1; at W=1 the open
+    configuration is itself valid and is kept).  Exactness: every micro-move
+    satisfies detailed balance in the extended (fields, head, tail) space, so
+    trajectories pair with their reversals at equal length — restricting to
+    trajectories of length ≤ ``max_moves`` and returning the unclosed remainder
+    to the start state preserves detailed balance of the whole-worm kernel.
+    The inline histogram keeps all tallies either way: each visited extended
+    state is a stationary sample."""
 
     name = 'ClassicWorm'
     fields = ('phi', 'n')
@@ -308,12 +320,13 @@ class ClassicWorm(Generator):
     _link_off = np.array([[0, 0], [1, 0], [0, 1], [0, 0]])
     _plaquette = np.array([+1, +1, -1, -1])
 
-    def __init__(self, action):
+    def __init__(self, action, max_moves=None):
         _require_villain(action)
         if action.Lattice.D != 2:
             raise NotImplementedError('ClassicWorm is only implemented for D=2')
         self.Action = action
         self.Lattice = action.Lattice
+        self.max_moves = None if max_moves is None else int(max_moves)
 
     def inline_shapes(self):
         L = self.Lattice
@@ -342,11 +355,16 @@ class ClassicWorm(Generator):
         link_dir = jnp.asarray(self._link_dir)
         link_off = jnp.asarray(self._link_off)
 
+        cap = self.max_moves
+
         def cond(state):
-            return ~state[0]
+            out = ~state[0]
+            if cap is not None:
+                out = out & (state[1] < cap)
+            return out
 
         def body(state):
-            done, key, head, n, hist = state
+            done, t, key, head, n, hist = state
             key, k_close, k_choice, k_accept = jax.random.split(key, 4)
 
             closed = jnp.all(head == tail) | (S.W == 1)
@@ -371,22 +389,35 @@ class ClassicWorm(Generator):
                 close_now, hist,
                 hist.at[disp[0], disp[1]].add(1.0)
             )
-            return close_now, key, head, n, hist
+            return close_now, t + 1, key, head, n, hist
 
         hist0 = jnp.zeros((N, N), dtype=fdt)
-        _, _, _, n, hist = jax.lax.while_loop(
-            cond, body, (jnp.zeros((), bool), k_loop, head, n, hist0))
+        closed, _, _, _, n_new, hist = jax.lax.while_loop(
+            cond, body, (jnp.zeros((), bool), jnp.zeros((), jnp.int32),
+                         k_loop, head, n, hist0))
+
+        if cap is not None and S.W != 1:
+            # Truncated (unclosed) worms roll the fields back; at W=1 the open
+            # configuration is valid and kept (see class docstring).
+            n_new = jnp.where(closed, n_new, n)
+            closed_f = closed.astype(fdt)
+        else:
+            closed_f = jnp.ones((), fdt)
 
         wl = hist.sum()
-        stats = self._tally(stats, wl, wl, jnp.ones((), fdt))
-        return cfg | {'n': n}, stats, {'Vortex_Vortex': hist, 'Worm_Length': wl}
+        stats = self._tally(stats, wl, wl, closed_f)
+        return cfg | {'n': n_new}, stats, {'Vortex_Vortex': hist, 'Worm_Length': wl}
 
     def report(self, stats=None):
         stats = stats if stats is not None else getattr(self, '_stats', self.init_stats())
         s = stats[self.name]
         worms = max(float(s['sweeps']), 1.0)
-        return (f'{self.name}: {worms:.0f} worms, mean length '
+        line = (f'{self.name}: {worms:.0f} worms, mean length '
                 f'{float(s["accepted"]) / worms:.3f}')
+        truncated = worms - float(s['acceptance'])
+        if self.max_moves is not None and truncated > 0.5:
+            line += f' ({truncated:.0f} truncated at max_moves={self.max_moves})'
+        return line
 
 
 class ChunkedWorm(Generator):
@@ -516,14 +547,20 @@ class ChunkedWorm(Generator):
                 f'{float(s["accepted"]) / worms:.3f}')
 
 
-def Hammer(S, worms=1, worm_moves=None):
+def Hammer(S, worms=1, worm_moves=None, fleet=False, max_worm_moves=None):
     """Ergodic composite for the Villain action (reference villain/__init__.py:10-63):
     Sequentially(Site, [Link if W<∞], Exact, Cohomology, [Worm if D==2]).
 
     ``worm_moves``: at W=1, replace the data-dependent-length :class:`ClassicWorm`
     with a :class:`ChunkedWorm` doing exactly that many micro-moves per step —
     the fleet-friendly variant whose cost does not scale with the slowest
-    chain's worm (see benchmark/worm_cost.py)."""
+    chain's worm (see benchmark/worm_cost.py).
+
+    ``fleet``: compose a bounded-step-time worm suitable for vmapping over many
+    chains (where an unbounded worm's step waits for the slowest chain):
+    :class:`ChunkedWorm` at W=1, :class:`ClassicWorm` with
+    ``max_moves=max_worm_moves`` (default 8·N²) at W>1.  ``max_worm_moves`` can
+    also be passed without ``fleet`` to cap the bare worm."""
     _require_villain(S)
     parts = [SiteUpdate(S)]
     if S.W < float('inf'):
@@ -533,7 +570,12 @@ def Hammer(S, worms=1, worm_moves=None):
     if S.Lattice.D == 2:
         if worm_moves is not None and S.W == 1:
             parts.append(ChunkedWorm(S, moves_per_step=worm_moves))
+        elif fleet and S.W == 1:
+            parts.append(ChunkedWorm(S, moves_per_step=worm_moves or 64))
         else:
-            worm = ClassicWorm(S)
+            cap = max_worm_moves
+            if fleet and cap is None:
+                cap = 8 * S.Lattice.sites
+            worm = ClassicWorm(S, max_moves=cap)
             parts.append(KeepEvery(worms, worm) if worms > 1 else worm)
     return Sequentially(parts)

@@ -242,15 +242,25 @@ class ClassicWorm(Generator):
     inline ``Spin_Spin`` histogram and ``Worm_Length``.
 
     Standalone-ergodic at W=1 (any v can be absorbed into m); at W>1 it never changes
-    v so it must be composed with other updates."""
+    v so it must be composed with other updates.
+
+    ``max_moves`` bounds the trip count (fleet safety: under ``vmap`` every step
+    waits for the slowest chain's worm).  A worm that has not closed after
+    ``max_moves`` moves is rolled back — an open worldline worm violates δm = 0
+    at head/tail for any W, so the rollback applies always.  Exactness: each
+    micro-move satisfies detailed balance in the extended space, trajectories
+    pair with equal-length reversals, so the symmetric length restriction
+    preserves detailed balance; the inline histogram keeps all tallies (every
+    visited extended state is a stationary sample)."""
 
     name = 'ClassicWorm'
     fields = ('m', 'v')
 
-    def __init__(self, action):
+    def __init__(self, action, max_moves=None):
         _require_worldline(action)
         self.Action = action
         self.Lattice = action.Lattice
+        self.max_moves = None if max_moves is None else int(max_moves)
 
     def inline_shapes(self):
         L = self.Lattice
@@ -278,11 +288,16 @@ class ClassicWorm(Generator):
         moves = np.concatenate([np.eye(D, dtype=int), -np.eye(D, dtype=int)])
         moves = jnp.asarray(moves)
 
+        cap = self.max_moves
+
         def cond(state):
-            return ~state[0]
+            out = ~state[0]
+            if cap is not None:
+                out = out & (state[1] < cap)
+            return out
 
         def body(state):
-            done, key, head, m, hist = state
+            done, t, key, head, m, hist = state
             key, k_close, k_choice, k_accept = jax.random.split(key, 4)
 
             same = jnp.all(head == tail)
@@ -307,29 +322,48 @@ class ClassicWorm(Generator):
             disp = jnp.mod(head - tail, N)
             hist = jnp.where(close_now, hist,
                              hist.at[tuple(disp[i] for i in range(D))].add(1.0))
-            return close_now, key, head, m, hist
+            return close_now, t + 1, key, head, m, hist
 
         hist0 = jnp.zeros(L.dims, dtype=fdt)
-        _, _, _, m, hist = jax.lax.while_loop(
-            cond, body, (jnp.zeros((), bool), k_loop, tail, m, hist0))
+        closed, _, _, _, m_new, hist = jax.lax.while_loop(
+            cond, body, (jnp.zeros((), bool), jnp.zeros((), jnp.int32),
+                         k_loop, tail, m, hist0))
+
+        if cap is not None:
+            # An unclosed worm violates δm = 0: roll the fields back.
+            m_new = jnp.where(closed, m_new, m)
+            closed_f = closed.astype(fdt)
+        else:
+            closed_f = jnp.ones((), fdt)
 
         wl = hist.sum()
-        stats = self._tally(stats, wl, wl, jnp.ones((), fdt))
-        return cfg | {'m': m}, stats, {'Spin_Spin': hist, 'Worm_Length': wl}
+        stats = self._tally(stats, wl, wl, closed_f)
+        return cfg | {'m': m_new}, stats, {'Spin_Spin': hist, 'Worm_Length': wl}
 
     def report(self, stats=None):
         stats = stats if stats is not None else getattr(self, '_stats', self.init_stats())
         s = stats[self.name]
         worms = max(float(s['sweeps']), 1.0)
-        return (f'{self.name}: {worms:.0f} worms, mean length '
+        line = (f'{self.name}: {worms:.0f} worms, mean length '
                 f'{float(s["accepted"]) / worms:.3f}')
+        truncated = worms - float(s['acceptance'])
+        if self.max_moves is not None and truncated > 0.5:
+            line += f' ({truncated:.0f} truncated at max_moves={self.max_moves})'
+        return line
 
 
-def Hammer(S, worms=1):
+def Hammer(S, worms=1, fleet=False, max_worm_moves=None):
     """Ergodic composite for the Worldline action (reference worldline/__init__.py:9-40):
-    Sequentially(Vortex, Coexact, Wrapping, Worm)."""
+    Sequentially(Vortex, Coexact, Wrapping, Worm).
+
+    ``fleet``: bound the worm's step time for vmapping over many chains
+    (``max_moves=max_worm_moves``, default 8·sites); ``max_worm_moves`` can also
+    be passed without ``fleet``."""
     _require_worldline(S)
-    worm = ClassicWorm(S)
+    cap = max_worm_moves
+    if fleet and cap is None:
+        cap = 8 * S.Lattice.sites
+    worm = ClassicWorm(S, max_moves=cap)
     return Sequentially((
         VortexUpdate(S),
         CoexactUpdate(S),

@@ -76,7 +76,7 @@ _SPEC_ARGS = {
     'WrappingUpdate': ('interval_w',),
     'PlaquetteUpdate': (),
     'FusedWorldlineUpdate': ('interval_v', 'interval_t', 'interval_w', 'sweeps_per_step'),
-    'ClassicWorm': (),
+    'ClassicWorm': ('max_moves',),
     'ChunkedWorm': ('moves_per_step',),
     'DoNothing': (),
 }

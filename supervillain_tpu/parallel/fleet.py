@@ -92,6 +92,50 @@ class Fleet:
                    np.asarray(group['index']), np.asarray(group['weight']))
 
 
+def _bounded_worms(generator, action, chains):
+    """Fleet safety: a bare (unbounded) ClassicWorm vmapped over many chains at
+    W>1 makes every step wait for the slowest chain's worm — the measured
+    pathology is an effectively unbounded max-over-chains excursion (see
+    docs/performance.md).  Rebuild the generator tree with a capped worm
+    (``max_moves`` truncation is an exact kernel; see ClassicWorm docstrings)
+    and warn loudly.  Trees without an unbounded worm pass through unchanged."""
+    import logging
+    from ..generators.combining import Sequentially, KeepEvery
+    from ..generators.monitor import Logger
+    from ..generators import villain as gvillain, worldline as gworldline
+
+    if action.W == 1 or chains <= action.Lattice.N:
+        return generator
+
+    cap = 8 * action.Lattice.sites
+    changed = []
+
+    def rebuild(g):
+        if isinstance(g, Sequentially):
+            return Sequentially([rebuild(x) for x in g.generators])
+        if isinstance(g, KeepEvery):
+            return KeepEvery(g.n, rebuild(g.generator), blocked_inline=g.blocked_inline)
+        if isinstance(g, Logger):
+            inner = rebuild(g.generator)
+            return Logger(inner, channel=g.channel, timer=g.timer) if inner is not g.generator else g
+        if isinstance(g, (gvillain.ClassicWorm, gworldline.ClassicWorm)) \
+                and g.max_moves is None:
+            changed.append(g)
+            return type(g)(g.Action, max_moves=cap)
+        return g
+
+    rebuilt = rebuild(generator)
+    if changed:
+        logging.getLogger(__name__).warning(
+            f'Unbounded ClassicWorm vmapped over {chains} chains at W={action.W}: '
+            f'every fleet step would wait for the slowest chain\'s worm. '
+            f'Substituting ClassicWorm(max_moves={cap}) — an exact bounded kernel '
+            f'(truncated worms roll back). Pass Hammer(..., fleet=True) or '
+            f'ClassicWorm(max_moves=...) explicitly to silence this.')
+        return rebuilt
+    return generator
+
+
 def sample_fleet(action, generator, *, chains, steps, thin=1, seed=0, mesh=None,
                  start='cold', keep_fields=True, progress=None):
     """Sample ``chains`` independent chains for ``steps`` kept configurations, each
@@ -102,6 +146,8 @@ def sample_fleet(action, generator, *, chains, steps, thin=1, seed=0, mesh=None,
     """
     if mesh is None and len(jax.devices()) > 1:
         mesh = chain_mesh()
+
+    generator = _bounded_worms(generator, action, chains)
 
     key = seed if isinstance(seed, jax.Array) else jax.random.key(seed)
 

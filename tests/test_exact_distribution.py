@@ -176,3 +176,86 @@ def test_villain_worm_samples_exact_distribution(worm):
     chi2, dof = _chi2_against(prob_of, counts, ns.shape[0])
     assert dof >= 5, f'too few populated bins ({dof})'
     assert chi2 / dof < 3.5, f'chi2/dof = {chi2 / dof:.2f} over {dof} bins'
+
+
+def _enumerate_villain_closed_n(L, cutoff):
+    """The dn = 0 subset of the |n_ℓ| ≤ cutoff enumeration with its weights:
+    the sector a worm-only chain explores at W>1 (worm moves add closed dual
+    loops, preserving dn exactly)."""
+    n, weights = _enumerate_villain_n(L, cutoff)
+    curl = (np.roll(n[:, 1], -1, axis=1) - n[:, 1]
+            - np.roll(n[:, 0], -1, axis=2) + n[:, 0])
+    closed = np.abs(curl).max(axis=(1, 2)) == 0
+    return n[closed], weights[closed]
+
+
+@pytest.mark.parametrize('cap,thin', [(None, 4), (8, 16)])
+def test_villain_worm_w2_exact_distribution(cap, thin):
+    """χ² of the W=2 worm-only chain (φ frozen) against the enumerated
+    Boltzmann distribution over closed (dn = 0) integer 1-forms.
+
+    cap=8 forces frequent truncation (the worm must return to its tail within
+    8 moves or roll back), validating that the max_moves-bounded kernel — the
+    fleet-safe default — samples the *same* exact distribution as the
+    unbounded one.  Truncation slows mixing (rolled-back steps are identity
+    moves), so the capped variant thins harder: χ²/dof at thin 4/16/32 was
+    measured at 4.92/1.67/1.26 — a thinning-dependence profile characteristic
+    of autocorrelation, not bias."""
+    from supervillain_tpu.generators import villain as gv
+
+    L = sv.Lattice2D(2)
+    S = sv.Villain(L, VKAPPA, W=2)
+    G = gv.ClassicWorm(S, max_moves=cap)
+
+    forms, weights = _enumerate_villain_closed_n(L, cutoff=2)
+    probs = weights / weights.sum()
+    prob_of = dict(zip((f.tobytes() for f in forms.astype(np.int8)), probs))
+
+    fleet = sample_fleet(S, G, chains=64, steps=100, thin=thin, seed=13)
+    cut = 20
+    ns = fleet.columns['n'][cut:].reshape(-1, 2, 2, 2).astype(np.int8)
+
+    # Every emitted configuration must stay in the dn = 0 sector: a rollback
+    # bug (emitting a truncated open worm) would land outside the enumeration.
+    counts = {}
+    for x in ns:
+        k = x.tobytes() if np.abs(x).max() <= 2 else b'overflow'
+        counts[k] = counts.get(k, 0) + 1
+    for k in counts:
+        assert k == b'overflow' or k in prob_of, 'sampled a state with dn != 0'
+    prob_of = dict(prob_of)
+    prob_of[b'overflow'] = 4 * np.exp(-(VKAPPA / 2) * 2 * (2 * np.pi * 3) ** 2)
+
+    chi2, dof = _chi2_against(prob_of, counts, ns.shape[0])
+    assert dof >= 5, f'too few populated bins ({dof})'
+    assert chi2 / dof < 3.5, f'chi2/dof = {chi2 / dof:.2f} over {dof} bins'
+
+
+def test_worldline_hammer_capped_worm_exact_distribution():
+    """The worldline Hammer with a tightly capped worm (max_worm_moves=6,
+    frequent truncation + rollback) still samples the exact distribution."""
+    L = sv.Lattice2D(2)
+    S = sv.Worldline(L, KAPPA, W=1)
+
+    forms, weights = _enumerate_closed_forms(L, cutoff=3)
+    probs = weights / weights.sum()
+    prob_of = dict(zip((f.tobytes() for f in forms.astype(np.int8)), probs))
+
+    fleet = sample_fleet(S, gw.Hammer(S, max_worm_moves=6), chains=48, steps=120,
+                         thin=4, seed=17)
+    cut = 20
+    m = fleet.columns['m'][cut:].reshape(-1, 2, 2, 2)
+    v = fleet.columns['v'][cut:].reshape(-1, 1, 2, 2)
+
+    counts = {}
+    for i in range(m.shape[0]):
+        dv = np.asarray(calculus.delta(L, 2, jnp.asarray(v[i], jnp.float64)))
+        u = np.rint(m[i] - dv).astype(np.int8)
+        assert np.abs(u).max() <= 3
+        counts[u.tobytes()] = counts.get(u.tobytes(), 0) + 1
+    for k in counts:
+        assert k in prob_of, 'sampled a state with δu != 0 (rollback bug?)'
+
+    chi2, dof = _chi2_against(prob_of, counts, m.shape[0])
+    assert dof >= 5
+    assert chi2 / dof < 3.5, f'chi2/dof = {chi2 / dof:.2f} over {dof} bins'

@@ -155,3 +155,51 @@ def test_sample_fused_fleet_shards_over_mesh():
     drifts = np.unique(np.round(fleet.columns['ActionDensity'][0], 6))
     assert len(drifts) == 8
     assert fleet.stats['NeighborhoodUpdate']['acceptance'] == 0.5
+
+
+def test_fleet_autobounds_unbounded_worm_at_w2(caplog):
+    """A bare (unbounded) ClassicWorm vmapped over many chains at W>1 is the
+    measured fleet pathology (every step waits for the slowest chain's worm);
+    sample_fleet substitutes the exact max_moves-bounded kernel and warns."""
+    import logging
+    S = sv.Villain(sv.Lattice2D(4), 0.5, W=2)
+    with caplog.at_level(logging.WARNING, logger='supervillain_tpu.parallel.fleet'):
+        fleet = sample_fleet(S, gv.Hammer(S), chains=32, steps=3, seed=3)
+    assert any('max_moves' in r.message for r in caplog.records)
+    assert fleet.columns['n'].shape[:2] == (3, 32)
+    for c in range(0, 32, 7):
+        assert S.valid({'n': fleet.columns['n'][-1, c]})
+
+
+def test_fleet_no_substitution_when_already_bounded(caplog):
+    import logging
+    S = sv.Worldline(sv.Lattice2D(4), 0.5, W=2)
+    with caplog.at_level(logging.WARNING, logger='supervillain_tpu.parallel.fleet'):
+        fleet = sample_fleet(S, gw.Hammer(S, fleet=True), chains=16, steps=3, seed=5)
+    assert not any('max_moves' in r.message for r in caplog.records)
+    for c in range(0, 16, 5):
+        assert S.valid({'m': fleet.columns['m'][-1, c]})
+
+
+def test_hammer_fleet_composition():
+    """fleet=True composes bounded worms: ChunkedWorm at W=1, capped
+    ClassicWorm at W>1 (Villain); capped ClassicWorm for Worldline."""
+    SV1 = sv.Villain(sv.Lattice2D(4), 0.5, W=1)
+    SV2 = sv.Villain(sv.Lattice2D(4), 0.5, W=2)
+    SW = sv.Worldline(sv.Lattice2D(4), 0.5, W=3)
+
+    names = [type(g).__name__ for g in gv.Hammer(SV1, fleet=True).generators]
+    assert 'ChunkedWorm' in names
+
+    parts = gv.Hammer(SV2, fleet=True).generators
+    worms = [g for g in parts if type(g).__name__ == 'ClassicWorm']
+    assert worms and worms[0].max_moves == 8 * 16
+
+    parts = gw.Hammer(SW, fleet=True).generators
+    worms = [g for g in parts if type(g).__name__ == 'ClassicWorm']
+    assert worms and worms[0].max_moves == 8 * 16
+
+    # Bare Hammers stay unbounded (single-chain back-compat).
+    parts = gv.Hammer(SV2).generators
+    worms = [g for g in parts if type(g).__name__ == 'ClassicWorm']
+    assert worms and worms[0].max_moves is None
