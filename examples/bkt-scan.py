@@ -19,6 +19,16 @@ bars.  On CPU backends the script automatically shrinks to L=64 so it stays
 runnable end-to-end anywhere.
 """
 
+# Allow running this script directly from anywhere: put the repo root (the
+# directory containing the supervillain_tpu package) on sys.path.
+import pathlib as _pathlib
+import sys as _sys
+for _p in _pathlib.Path(__file__).resolve().parents:
+    if (_p / 'supervillain_tpu').is_dir():
+        if str(_p) not in _sys.path:
+            _sys.path.insert(0, str(_p))
+        break
+
 import argparse
 import time
 

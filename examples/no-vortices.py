@@ -47,8 +47,10 @@ def generate(action):
     else:
         S = sv.Worldline(L, args.kappa, W=W)
         G = gworldline.Hammer(S)
+    # zlib.crc32 is stable across processes (str hash() is salted per run).
+    import zlib
     E = sv.Ensemble(S).generate(args.configurations, G, start='cold', progress=tqdm,
-                                seed=hash(action) % 2 ** 31)
+                                seed=zlib.crc32(action.encode()) % 2 ** 31)
     print(G.report())
     return E
 

@@ -9,7 +9,8 @@ import jax.numpy as jnp
 import supervillain_tpu as sv
 from supervillain_tpu.ops import calculus as calc
 
-GEOMETRIES = [(2, 4), (2, 5), (3, 3)]
+GEOMETRIES = [(2, 4), (2, 5), (2, 8), (3, 3), (3, 4), (4, 3)]
+KAPPAS = (0.4, 0.5, 0.6)
 
 
 def random_fields_villain(rng, L):
@@ -27,10 +28,11 @@ def random_fields_worldline(rng, L):
 
 
 @pytest.mark.parametrize('D,N', GEOMETRIES)
-def test_site_delta_s(D, N, rng):
+@pytest.mark.parametrize('kappa', KAPPAS)
+def test_site_delta_s(D, N, kappa, rng):
     """Δφ at one site: ΔS = Σ_ℓ (κ/2) dΔφ (2(dφ-2πn) + dΔφ)."""
     L = sv.Lattice(D, N)
-    S = sv.Villain(L, 0.5)
+    S = sv.Villain(L, kappa)
     phi, n = random_fields_villain(rng, L)
     change = jnp.zeros(L.form_shape(0)).at[(0,) + tuple(rng.integers(0, N, D))].set(rng.normal())
     r = calc.d(L, 0, phi) - 2 * np.pi * n
@@ -41,10 +43,12 @@ def test_site_delta_s(D, N, rng):
 
 
 @pytest.mark.parametrize('D,N', GEOMETRIES)
-def test_link_delta_s(D, N, rng):
+@pytest.mark.parametrize('kappa', KAPPAS)
+@pytest.mark.parametrize('W', [1, 2])
+def test_link_delta_s(D, N, kappa, W, rng):
     """Δn at one link: ΔS = -2πκ Δn (dφ - 2πn - πΔn)."""
     L = sv.Lattice(D, N)
-    S = sv.Villain(L, 0.5, W=1)
+    S = sv.Villain(L, kappa, W=W)
     phi, n = random_fields_villain(rng, L)
     idx = (rng.integers(0, D),) + tuple(rng.integers(0, N, D))
     dn = int(rng.choice([-2, -1, 1, 2]))
@@ -56,10 +60,11 @@ def test_link_delta_s(D, N, rng):
 
 
 @pytest.mark.parametrize('D,N', GEOMETRIES)
-def test_exact_delta_s(D, N, rng):
+@pytest.mark.parametrize('kappa', KAPPAS)
+def test_exact_delta_s(D, N, kappa, rng):
     """Δn = dz preserves dn and ΔS matches the link formula."""
     L = sv.Lattice(D, N)
-    S = sv.Villain(L, 0.5, W=2)
+    S = sv.Villain(L, kappa, W=2)
     phi, n = random_fields_villain(rng, L)
     z = jnp.zeros(L.form_shape(0), dtype=n.dtype).at[(0,) + tuple(rng.integers(0, N, D))].set(1)
     change = calc.d(L, 0, z)
@@ -71,11 +76,12 @@ def test_exact_delta_s(D, N, rng):
 
 
 @pytest.mark.parametrize('D,N', GEOMETRIES)
+@pytest.mark.parametrize('kappa', KAPPAS)
 @pytest.mark.parametrize('W', [1, 2])
-def test_coexact_delta_s(D, N, W, rng):
+def test_coexact_delta_s(D, N, kappa, W, rng):
     """Δm = δt keeps δm = 0 and ΔS = Σ (1/2κ) Δm (2(m - δv/W) + Δm)."""
     L = sv.Lattice(D, N)
-    S = sv.Worldline(L, 0.5, W=W)
+    S = sv.Worldline(L, kappa, W=W)
     m, v = random_fields_worldline(rng, L)
     t = jnp.zeros(L.form_shape(2), dtype=m.dtype).at[
         (rng.integers(0, len(L.components[2])),) + tuple(rng.integers(0, N, D))].set(1)
@@ -88,11 +94,12 @@ def test_coexact_delta_s(D, N, W, rng):
 
 
 @pytest.mark.parametrize('D,N', GEOMETRIES)
+@pytest.mark.parametrize('kappa', KAPPAS)
 @pytest.mark.parametrize('W', [1, 2])
-def test_vortex_delta_s(D, N, W, rng):
+def test_vortex_delta_s(D, N, kappa, W, rng):
     """Δv at one plaquette: ΔS = Σ (1/2κ)(-δΔv/W)(2(m - δv/W) - δΔv/W)."""
     L = sv.Lattice(D, N)
-    S = sv.Worldline(L, 0.5, W=W)
+    S = sv.Worldline(L, kappa, W=W)
     m, v = random_fields_worldline(rng, L)
     change_v = jnp.zeros(L.form_shape(2), dtype=v.dtype).at[
         (rng.integers(0, len(L.components[2])),) + tuple(rng.integers(0, N, D))].set(1)
@@ -104,10 +111,11 @@ def test_vortex_delta_s(D, N, W, rng):
 
 
 @pytest.mark.parametrize('D,N', GEOMETRIES)
-def test_wrapping_delta_s(D, N, rng):
+@pytest.mark.parametrize('kappa', KAPPAS)
+def test_wrapping_delta_s(D, N, kappa, rng):
     """Δm on a whole torus cycle keeps δm = 0; ΔS = Σ_cycle (1/2κ) Δm (2 links + Δm)."""
     L = sv.Lattice(D, N)
-    S = sv.Worldline(L, 0.7, W=1)
+    S = sv.Worldline(L, kappa, W=1)
     m, v = random_fields_worldline(rng, L)
     mu = int(rng.integers(0, D))
     change = np.zeros(L.form_shape(1), dtype=int)
@@ -121,14 +129,16 @@ def test_wrapping_delta_s(D, N, rng):
     assert np.isclose(dS_alg, dS_full, atol=1e-10)
 
 
-def test_cohomology_delta_s(rng):
+@pytest.mark.parametrize('kappa', KAPPAS)
+@pytest.mark.parametrize('D,N', [(2, 5), (2, 8), (3, 3)])
+def test_cohomology_delta_s(D, N, kappa, rng):
     """Adding h to n_mu on the slice x_mu = 0: d(Δn) = 0 and ΔS matches."""
-    L = sv.Lattice(2, 5)
-    S = sv.Villain(L, 0.5, W=2)
+    L = sv.Lattice(D, N)
+    S = sv.Villain(L, kappa, W=2)
     phi, n = random_fields_villain(rng, L)
     h = 1
     change = np.zeros(L.form_shape(1), dtype=int)
-    change[0, 0, :] = h
+    change[(0, 0) + (slice(None),) * (D - 1)] = h
     change = jnp.asarray(change)
     assert (np.asarray(calc.d(L, 1, change)) == 0).all()
     r = calc.d(L, 0, phi) - 2 * np.pi * n

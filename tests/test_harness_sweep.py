@@ -1,8 +1,9 @@
 """Reference-style harness sweep: cached Hammer-generated ensembles per
 (action, N, κ, W) with constraint validity and gauge invariance checked across the
-whole parameter sweep (mirrors /root/reference/test/harness.py:21-30 — W ∈ {1,2},
-κ ∈ {0.4, 0.6}, N ∈ {3, 4, 7} including the odd-N multi-color checkerboards — and
-the invariant batteries of test_validity.py / test_gauge-invariance.py)."""
+whole parameter sweep (the reference's full grid, /root/reference/test/harness.py:21-30
+— W ∈ {1,2}, κ ∈ {0.4, 0.5, 0.6}, N ∈ {3, 4, 7, 8} including the odd-N multi-color
+checkerboards — and the invariant batteries of test_validity.py /
+test_gauge-invariance.py)."""
 
 from functools import cache
 
@@ -13,8 +14,8 @@ import supervillain_tpu as sv
 from supervillain_tpu.generators import villain as gv, worldline as gw
 
 WS = (1, 2)
-KAPPAS = (0.4, 0.6)
-NS = (3, 4, 7)
+KAPPAS = (0.4, 0.5, 0.6)
+NS = (3, 4, 7, 8)
 SWEEP = [(N, kappa, W) for W in WS for kappa in KAPPAS for N in NS]
 STEPS = 12
 
