@@ -289,6 +289,79 @@ class NeighborhoodUpdate(Generator):
         return cfg | {'phi': phi, 'n': n}, stats, {}
 
 
+class ExactNeighborhoodUpdate(Generator):
+    r"""Compound (Δφ, Δz) site update: each checkerboard-color site proposes a
+    simultaneous Δφ and an integer Δz with Δn = d(Δz) on its adjacent links, so
+    d(Δn) = d²(Δz) = 0 and the constraint dn ≡ 0 mod W is preserved *exactly
+    at every W including W=∞* — this is the W=∞ analogue of
+    :class:`NeighborhoodUpdate` (whose link proposals are multiples of W and
+    therefore undefined at W=∞), fusing the reference's SiteUpdate + ExactUpdate
+    (/root/reference/supervillain/generator/villain/{site,exact}.py) into one
+    single-ΔS Metropolis kernel.  Dimension-general.
+
+    The link-residual change is d(Δφ − 2πΔz): supported on the same 2D adjacent
+    links as NeighborhoodUpdate's, with the same per-link ΔS algebra and the same
+    color-disjointness argument (each link touches exactly one same-color site).
+
+    ``p_z``: zero-inflated symmetric Δz proposal, like NeighborhoodUpdate's
+    ``p_n``."""
+
+    name = 'ExactNeighborhoodUpdate'
+    fields = ('phi', 'n')
+
+    def __init__(self, action, interval_phi=np.pi, interval_z=1, p_z=None):
+        _require_villain(action)
+        self.Action = action
+        self.Lattice = action.Lattice
+        self.interval_phi = float(interval_phi)
+        self.interval_z = int(interval_z)
+        self.p_z = None if p_z is None else float(p_z)
+
+    def step(self, key, cfg, stats):
+        S, L = self.Action, self.Lattice
+        phi, n = cfg['phi'], cfg['n']
+        fdt = phi.dtype
+
+        r = calc.d(L, 0, phi) - TWO_PI * n
+        accepted = jnp.zeros((), fdt)
+        acceptance = jnp.zeros((), fdt)
+
+        for ci in range(L.n_colors):
+            mask = jnp.asarray(L.checkerboard_masks[ci])
+            kp, kz, km = jax.random.split(jax.random.fold_in(key, ci), 3)
+
+            prop = jax.random.uniform(kp, L.dims, dtype=fdt,
+                                      minval=-self.interval_phi, maxval=self.interval_phi)
+            change_phi = jnp.where(mask, prop, 0)[None]
+
+            if self.p_z is None:
+                z = uniform_int_with_zero(kz, L.dims, self.interval_z, dtype=n.dtype)
+            else:
+                z = zero_inflated_int(kz, L.dims, self.interval_z, self.p_z, dtype=n.dtype)
+            change_z = jnp.where(mask, z, 0)[None]
+            change_n = calc.d(L, 0, change_z)
+
+            change_r = calc.d(L, 0, change_phi) - TWO_PI * change_n
+            dS_link = (S.kappa / 2) * change_r * (2 * r + change_r)
+            dS = calc.face_sum(L, 1, dS_link)[0]
+
+            accept, prob = metropolis(km, dS, L.dims)
+            accept = accept & mask
+
+            applied_phi = jnp.where(accept, change_phi[0], 0)[None]
+            applied_z = jnp.where(accept, change_z[0], 0)[None]
+            applied_n = calc.d(L, 0, applied_z)
+
+            phi = phi + applied_phi
+            n = n + applied_n
+            r = r + calc.d(L, 0, applied_phi) - TWO_PI * applied_n
+            accepted = accepted + accept.sum()
+            acceptance = acceptance + jnp.where(mask, prob, 0).sum()
+
+        stats = self._tally(stats, accepted, float(L.sites), acceptance / L.sites)
+        return cfg | {'phi': phi, 'n': n}, stats, {}
+
+
 class ClassicWorm(Generator):
     r"""Prokof'ev–Svistunov worm on the plaquettes of a D=2 lattice: the head moves to
     one of the 4 neighboring plaquettes, changing the crossed link's n while keeping dn

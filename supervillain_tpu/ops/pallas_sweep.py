@@ -78,7 +78,14 @@ def _make_kernel(N, kappa, W, interval_phi, interval_n, sweeps, C0=1, C1=1, p_n=
     """C0/C1 > 1 pack a (C0, C1) tile of chains into one program's block — C0 along
     sublanes, C1 along lanes, each chain an N×N segment — so small lattices still
     fill the vector registers AND amortize the per-program fixed cost.  Rolls wrap
-    within each chain's segment (full roll + wrap-roll selected at segment edges)."""
+    within each chain's segment (full roll + wrap-roll selected at segment edges).
+
+    ``W = inf`` selects z-mode: instead of independent Δn on the four adjacent
+    links, each color-c site proposes (Δφ, Δz) with Δn = d(Δz) — the fused
+    Site+Exact compound that preserves dn = 0 *exactly* (the W=∞ constraint).
+    The ΔS gather is unchanged because the link residual change is
+    d(Δφ − 2πΔz), supported on the same four links."""
+    winf = (W == float('inf'))
     kappa = np.float32(kappa)
     interval_phi = np.float32(interval_phi)
     C = C0 * C1
@@ -132,12 +139,17 @@ def _make_kernel(N, kappa, W, interval_phi, interval_n, sweeps, C0=1, C1=1, p_n=
                 draw = lambda: _int_in(shape, interval_n)
             else:
                 draw = lambda: _int_sparse(shape, interval_n, p_n)
-            fwd0 = (W * draw()) * imask
-            fwd1 = (W * draw()) * imask
-            bwd0 = (W * draw()) * _rt(imask, -1)
-            bwd1 = (W * draw()) * _rx(imask, -1)
-            cn0 = fwd0 + bwd0
-            cn1 = fwd1 + bwd1
+            if winf:
+                dz = draw() * imask
+                cn0 = _rt(dz, -1) - dz
+                cn1 = _rx(dz, -1) - dz
+            else:
+                fwd0 = (W * draw()) * imask
+                fwd1 = (W * draw()) * imask
+                bwd0 = (W * draw()) * _rt(imask, -1)
+                bwd1 = (W * draw()) * _rx(imask, -1)
+                cn0 = fwd0 + bwd0
+                cn1 = fwd1 + bwd1
 
             cr0 = (_rt(dphi, -1) - dphi) - TWO_PI * cn0.astype(jnp.float32)
             cr1 = (_rx(dphi, -1) - dphi) - TWO_PI * cn1.astype(jnp.float32)
@@ -149,8 +161,13 @@ def _make_kernel(N, kappa, W, interval_phi, interval_n, sweeps, C0=1, C1=1, p_n=
             facc = accept.astype(jnp.float32)
 
             a_phi = dphi * facc
-            a_n0 = fwd0 * accept + bwd0 * _rt(accept, -1)
-            a_n1 = fwd1 * accept + bwd1 * _rx(accept, -1)
+            if winf:
+                az = dz * accept
+                a_n0 = _rt(az, -1) - az
+                a_n1 = _rx(az, -1) - az
+            else:
+                a_n0 = fwd0 * accept + bwd0 * _rt(accept, -1)
+                a_n1 = fwd1 * accept + bwd1 * _rx(accept, -1)
 
             phi = phi + a_phi
             n0 = n0 + a_n0
@@ -210,7 +227,12 @@ def _make_strip_kernel(N, Rb, kappa, W, interval_phi, interval_n, sweeps, p_n=No
     that escapes a strip — the backward-link Δn/Δr on the row above its first
     site row — is applied as a `+=` to the neighbor strip's last row, which is
     column-disjoint from that strip's own writes.
+
+    ``W = inf`` selects z-mode (fused Site+Exact, Δn = d(Δz)); see
+    :func:`_make_kernel`.  The escape-row write pattern is identical: the only
+    out-of-strip component of d(Δz·accept) is the backward (row-above) link.
     """
+    winf = (W == float('inf'))
     kappa = np.float32(kappa)
     interval_phi = np.float32(interval_phi)
     S = N // Rb
@@ -258,12 +280,17 @@ def _make_strip_kernel(N, Rb, kappa, W, interval_phi, interval_n, sweeps, p_n=No
             fmask = imask.astype(jnp.float32)
 
             dphi = (2.0 * _uniform(pad) - 1.0) * interval_phi * fmask
-            fwd0 = (W * draw()) * imask
-            fwd1 = (W * draw()) * imask
-            bwd0 = (W * draw()) * up(imask)
-            bwd1 = (W * draw()) * _rx(imask, -1)
-            cn0 = fwd0 + bwd0
-            cn1 = fwd1 + bwd1
+            if winf:
+                dz = draw() * imask
+                cn0 = up(dz) - dz
+                cn1 = _rx(dz, -1) - dz
+            else:
+                fwd0 = (W * draw()) * imask
+                fwd1 = (W * draw()) * imask
+                bwd0 = (W * draw()) * up(imask)
+                bwd1 = (W * draw()) * _rx(imask, -1)
+                cn0 = fwd0 + bwd0
+                cn1 = fwd1 + bwd1
             cr0 = (up(dphi) - dphi) - TWO_PI * cn0.astype(jnp.float32)
             cr1 = (_rx(dphi, -1) - dphi) - TWO_PI * cn1.astype(jnp.float32)
             t0 = (kappa / 2) * cr0 * (2.0 * r0 + cr0)
@@ -272,8 +299,13 @@ def _make_strip_kernel(N, Rb, kappa, W, interval_phi, interval_n, sweeps, p_n=No
             accept = jnp.where(_uniform(pad) < jnp.exp(-dS), 1, 0) * imask
             facc = accept.astype(jnp.float32)
             a_phi = dphi * facc
-            a_n0 = fwd0 * accept + bwd0 * up(accept)
-            a_n1 = fwd1 * accept + bwd1 * _rx(accept, -1)
+            if winf:
+                az = dz * accept
+                a_n0 = up(az) - az
+                a_n1 = _rx(az, -1) - az
+            else:
+                a_n0 = fwd0 * accept + bwd0 * up(accept)
+                a_n1 = fwd1 * accept + bwd1 * _rx(accept, -1)
             d_r0 = (up(a_phi) - a_phi) - TWO_PI * a_n0.astype(jnp.float32)
             d_r1 = (_rx(a_phi, -1) - a_phi) - TWO_PI * a_n1.astype(jnp.float32)
 
