@@ -3,5 +3,5 @@ from .combining import Sequentially, KeepEvery
 from .monitor import Logger
 from . import villain
 from . import worldline
-from .villain_fused import FusedNeighborhoodUpdate
+from .villain_fused import FusedNeighborhoodUpdate, FusedExactNeighborhoodUpdate
 from .worldline_fused import FusedWorldlineUpdate

@@ -23,10 +23,10 @@ from .base import Generator
 from .villain import NeighborhoodUpdate
 
 
-def _pallas_supported(action):
+def _pallas_supported(action, allow_winf=False):
     if action.Lattice.D != 2 or action.Lattice.N % 2 != 0:
         return False
-    if action.W == float('inf'):
+    if action.W == float('inf') and not allow_winf:
         return False
     # Below ~128 sites per side the per-program loop overhead dominates and the
     # XLA path is at least as fast (see docs/design.md).
@@ -43,12 +43,16 @@ class FusedNeighborhoodUpdate(Generator):
                  p_n=None):
         if not isinstance(action, Villain):
             raise ValueError('Need a Villain action')
+        if action.W == float('inf') and type(self) is FusedNeighborhoodUpdate:
+            raise ValueError('NeighborhoodUpdate offers Δn in multiples of W; '
+                             'undefined at W=inf — use FusedExactNeighborhoodUpdate.')
         self.Action = action
         self.Lattice = action.Lattice
         self.interval_phi = float(interval_phi)
         self.interval_n = int(interval_n)
         self.sweeps_per_step = int(sweeps_per_step)
         self.p_n = None if p_n is None else float(p_n)
+        self._kernel_W = int(action.W) if action.W != float('inf') else action.W
         self._fallback = None
         if not _pallas_supported(action):
             self._fallback = NeighborhoodUpdate(action, interval_phi, interval_n, p_n=p_n)
@@ -74,7 +78,7 @@ class FusedNeighborhoodUpdate(Generator):
         phi = cfg['phi'].astype(jnp.float32)[None]
         n = cfg['n'].astype(jnp.int32)[None]
         phi, n, accepted, inline = neighborhood_sweeps(
-            seed, phi, n, N=L.N, kappa=S.kappa, W=int(S.W),
+            seed, phi, n, N=L.N, kappa=S.kappa, W=self._kernel_W,
             interval_phi=self.interval_phi, interval_n=self.interval_n,
             sweeps=self.sweeps_per_step, p_n=self.p_n)
         stats = self._tally(
@@ -92,6 +96,48 @@ class FusedNeighborhoodUpdate(Generator):
         # Inline observables measured in-kernel, averaged over the launch's sweeps
         # (a blocked inline measurement, like KeepEvery(blocked_inline=True)).
         return out, stats, {k: v[0] for k, v in inline.items()}
+
+
+class FusedExactNeighborhoodUpdate(FusedNeighborhoodUpdate):
+    """Pallas-fused compound (Δφ, Δz) sweeps — the **W=∞ fused path**.
+
+    Same launch structure as :class:`FusedNeighborhoodUpdate`, but the kernel
+    runs in z-mode (``W=inf`` in :mod:`supervillain_tpu.ops.pallas_sweep`):
+    each color-c site proposes Δφ and an integer Δz with Δn = d(Δz), preserving
+    the W=∞ constraint dn = 0 exactly.  Samples the same transition kernel as
+    the XLA :class:`~.villain.ExactNeighborhoodUpdate` (hardware-PRNG stream
+    difference only), which is also the fallback off-TPU / at unsupported
+    geometries.  This closes the "W=∞ runs on the 12× slower XLA path" gap for
+    the self-dual workloads."""
+
+    name = 'ExactNeighborhoodUpdate'
+    fields = ('phi', 'n')
+
+    def __init__(self, action, interval_phi=np.pi, interval_z=1, sweeps_per_step=1,
+                 p_z=None):
+        if not isinstance(action, Villain):
+            raise ValueError('Need a Villain action')
+        self.Action = action
+        self.Lattice = action.Lattice
+        self.interval_phi = float(interval_phi)
+        # The kernel reuses the interval_n/p_n slots for the Δz draw.
+        self.interval_n = int(interval_z)
+        self.sweeps_per_step = int(sweeps_per_step)
+        self.p_n = None if p_z is None else float(p_z)
+        self._kernel_W = float('inf')
+        self._fallback = None
+        if not _pallas_supported(action, allow_winf=True):
+            from .villain import ExactNeighborhoodUpdate
+            self._fallback = ExactNeighborhoodUpdate(
+                action, interval_phi, interval_z, p_z=p_z)
+
+    @property
+    def interval_z(self):
+        return self.interval_n
+
+    @property
+    def p_z(self):
+        return self.p_n
 
 
 class FusedClassicWorm(Generator):

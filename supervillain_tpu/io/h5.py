@@ -70,7 +70,9 @@ _SPEC_ARGS = {
     'ExactUpdate': ('interval_z',),
     'CohomologyUpdate': ('interval_h',),
     'NeighborhoodUpdate': ('interval_phi', 'interval_n', 'p_n'),
+    'ExactNeighborhoodUpdate': ('interval_phi', 'interval_z', 'p_z'),
     'FusedNeighborhoodUpdate': ('interval_phi', 'interval_n', 'sweeps_per_step', 'p_n'),
+    'FusedExactNeighborhoodUpdate': ('interval_phi', 'interval_z', 'sweeps_per_step', 'p_z'),
     'VortexUpdate': ('interval_v',),
     'CoexactUpdate': ('interval_t',),
     'WrappingUpdate': ('interval_w',),

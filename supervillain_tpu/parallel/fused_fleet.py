@@ -32,8 +32,9 @@ def _fused_launch(action, *, N, thin, interval_phi, interval_n, p_n,
     (same signature) — used to exercise the SPMD plumbing on CPU meshes where
     the TPU kernel cannot run."""
     from ..ops.pallas_sweep import neighborhood_sweeps
+    W = action.W if action.W == float('inf') else int(action.W)
     kernel = partial(kernel_fn or neighborhood_sweeps,
-                     N=N, kappa=action.kappa, W=int(action.W),
+                     N=N, kappa=action.kappa, W=W,
                      interval_phi=float(interval_phi), interval_n=int(interval_n),
                      p_n=None if p_n is None else float(p_n),
                      sweeps=thin, chains_per_program=chains_per_program,

@@ -146,3 +146,29 @@ def test_cohomology_delta_s(D, N, kappa, rng):
     dS_alg = float(jnp.sum((S.kappa / 2) * change_r * (2 * r + change_r)))
     dS_full = float(S(phi, n + change) - S(phi, n))
     assert np.isclose(dS_alg, dS_full, atol=1e-10)
+
+
+@pytest.mark.parametrize('D,N', GEOMETRIES)
+@pytest.mark.parametrize('kappa', KAPPAS)
+def test_exact_neighborhood_delta_s(D, N, kappa, rng):
+    """The compound (Δφ, Δz) change with Δn = d(Δz): d(Δn) = 0 at any W (incl.
+    W=∞) and ΔS = Σ_ℓ (κ/2) cr (2r + cr) with cr = d(Δφ − 2πΔz)."""
+    L = sv.Lattice(D, N)
+    S = sv.Villain(L, kappa, W=float('inf'))
+    phi = jnp.asarray(rng.normal(size=L.form_shape(0)))
+    z0 = jnp.asarray(rng.integers(-2, 3, L.form_shape(0)))
+    n = calc.d(L, 0, z0)  # dn = 0 exactly: valid at W=inf
+    assert S.valid({'n': n})
+
+    site = (0,) + tuple(rng.integers(0, N, D))
+    change_phi = jnp.zeros(L.form_shape(0)).at[site].set(rng.normal())
+    change_z = jnp.zeros(L.form_shape(0), dtype=n.dtype).at[site].set(
+        int(rng.choice([-2, -1, 1, 2])))
+    change_n = calc.d(L, 0, change_z)
+    assert (np.asarray(calc.d(L, 1, n + change_n)) == 0).all()
+
+    r = calc.d(L, 0, phi) - 2 * np.pi * n
+    cr = calc.d(L, 0, change_phi) - 2 * np.pi * change_n
+    dS_alg = float(jnp.sum((S.kappa / 2) * cr * (2 * r + cr)))
+    dS_full = float(S(phi + change_phi, n + change_n) - S(phi, n))
+    assert np.isclose(dS_alg, dS_full, atol=1e-10)

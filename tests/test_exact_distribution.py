@@ -259,3 +259,49 @@ def test_worldline_hammer_capped_worm_exact_distribution():
     chi2, dof = _chi2_against(prob_of, counts, m.shape[0])
     assert dof >= 5
     assert chi2 / dof < 3.5, f'chi2/dof = {chi2 / dof:.2f} over {dof} bins'
+
+
+def _enumerate_villain_exact_n(L, zcut):
+    """All n = dz for integer 0-forms z (gauge-fixed z[origin]=0, entries in
+    ±zcut), with Boltzmann weights at φ = 0 — the sector the z-only
+    ExactNeighborhoodUpdate explores at W=∞ from a cold start."""
+    zs = np.array(np.meshgrid(*([np.arange(-zcut, zcut + 1)] * (L.sites - 1)),
+                              indexing='ij')).reshape(L.sites - 1, -1).T
+    forms = {}
+    for zrow in zs:
+        z = np.concatenate([[0], zrow]).reshape((1,) + L.dims)
+        n = np.stack([np.roll(z[0], -1, axis=mu) - z[0] for mu in range(L.D)])
+        k = n.astype(np.int8).tobytes()
+        if k not in forms:
+            forms[k] = np.exp(-(VKAPPA / 2) * ((2 * np.pi * n) ** 2).sum())
+    return forms
+
+
+def test_exact_neighborhood_samples_exact_distribution():
+    """χ² of the z-only ExactNeighborhoodUpdate chain (interval_phi = 0, φ
+    frozen at 0) at W=∞ against the enumerated Boltzmann distribution over
+    exact forms n = dz — validating the new fused-Site+Exact compound kernel's
+    proposal symmetry and ΔS algebra end-to-end."""
+    from supervillain_tpu.generators import villain as gv
+
+    L = sv.Lattice2D(2)
+    S = sv.Villain(L, VKAPPA, W=float('inf'))
+    G = gv.ExactNeighborhoodUpdate(S, interval_phi=0.0, interval_z=1)
+
+    forms = _enumerate_villain_exact_n(L, zcut=3)
+    Z = sum(forms.values())
+    prob_of = {k: w / Z for k, w in forms.items()}
+
+    fleet = sample_fleet(S, G, chains=64, steps=100, thin=4, seed=23)
+    cut = 20
+    ns = fleet.columns['n'][cut:].reshape(-1, 2, 2, 2).astype(np.int8)
+
+    counts = {}
+    for x in ns:
+        counts[x.tobytes()] = counts.get(x.tobytes(), 0) + 1
+    for k in counts:
+        assert k in prob_of, 'sampled n is not an exact form (dz)'
+
+    chi2, dof = _chi2_against(prob_of, counts, ns.shape[0])
+    assert dof >= 5, f'too few populated bins ({dof})'
+    assert chi2 / dof < 3.5, f'chi2/dof = {chi2 / dof:.2f} over {dof} bins'

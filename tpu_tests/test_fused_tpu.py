@@ -246,3 +246,88 @@ def test_worldline_strip_kernel_large_lattice():
     m, v, acc = worldline_sweeps(jnp.int32(7), m, v, N=N, kappa=0.5, W=2, sweeps=30)
     assert S.valid({'m': np.asarray(m[0])})
     assert float(acc.sum()) > 0
+
+
+@requires_tpu
+def test_fused_winf_kernel_statistics():
+    """z-mode (W=∞) fused kernel: dn = 0 preserved exactly on every chain, and
+    the action density agrees statistically with the XLA ExactNeighborhoodUpdate
+    twin at the same (N, κ)."""
+    from supervillain_tpu.ops.pallas_sweep import neighborhood_sweeps
+    from supervillain_tpu.ops import calculus as calc
+    N, B = 128, 32
+    kappa = float(0.5 / np.pi)
+    L = sv.Lattice2D(N)
+    S = sv.Villain(L, kappa, W=float('inf'))
+
+    phi = jnp.zeros((B, 1, N, N), jnp.float32)
+    n = jnp.zeros((B, 2, N, N), jnp.int32)
+    phi, n, _, _ = neighborhood_sweeps(jnp.int32(5), phi, n, N=N, kappa=kappa,
+                                       W=float('inf'), interval_phi=float(np.pi),
+                                       interval_n=1, sweeps=200)
+    phi, n, acc, inline = neighborhood_sweeps(jnp.int32(6), phi, n, N=N, kappa=kappa,
+                                              W=float('inf'), interval_phi=float(np.pi),
+                                              interval_n=1, sweeps=100)
+    # The W=inf constraint holds exactly: dn = 0 on every chain (also reflected
+    # by the in-kernel WindingSquared inline observable being identically 0).
+    dn = jax.jit(jax.vmap(lambda x: calc.d(L, 1, x)))(n)
+    assert int(jnp.abs(dn).max()) == 0
+    assert float(jnp.abs(inline['WindingSquared']).max()) == 0.0
+    assert float(acc.sum()) > 0
+    pallas_S = np.asarray(_villain_density(S)(phi, n))
+
+    from supervillain_tpu.generators import villain as gv
+    G = gv.ExactNeighborhoodUpdate(S)
+    def one(k, c, s):
+        c, s, _ = G.step(k, c, s)
+        return c, s
+    cfgs = {'phi': jnp.zeros((B, 1, N, N), jnp.float32),
+            'n': jnp.zeros((B, 2, N, N), jnp.int32)}
+    stats = jax.tree.map(lambda x: jnp.broadcast_to(x, (B,) + x.shape).astype(jnp.float32),
+                         G.init_stats())
+    @jax.jit
+    def steps(key, cfgs, stats):
+        def body(carry, k):
+            cfgs, stats = carry
+            keys = jax.vmap(lambda i: jax.random.fold_in(k, i))(jnp.arange(B))
+            return jax.vmap(one)(keys, cfgs, stats), None
+        (cfgs, stats), _ = jax.lax.scan(body, (cfgs, stats), jax.random.split(key, 300))
+        return cfgs, stats
+    cfgs, stats = steps(jax.random.key(1), cfgs, stats)
+    xla_S = np.asarray(_villain_density(S)(cfgs['phi'], cfgs['n']))
+
+    ma, ea = pallas_S.mean(), pallas_S.std() / np.sqrt(B)
+    mb, eb = xla_S.mean(), xla_S.std() / np.sqrt(B)
+    pull = abs(ma - mb) / np.hypot(ea, eb)
+    assert pull < 5, f'pallas {ma}({ea}) vs xla {mb}({eb}): pull {pull}'
+
+
+@requires_tpu
+def test_fused_winf_strip_kernel_statistics():
+    """The strip-chunked z-mode kernel (N ≥ 512 path, forced here at N=256)
+    must agree with the monolithic z-mode kernel."""
+    from supervillain_tpu.ops.pallas_sweep import neighborhood_sweeps
+    from supervillain_tpu.ops import calculus as calc
+    N, B = 256, 8
+    kappa = 0.3
+    L = sv.Lattice2D(N)
+    S = sv.Villain(L, kappa, W=float('inf'))
+
+    out = {}
+    for tag, force in (('mono', False), ('strip', True)):
+        phi = jnp.zeros((B, 1, N, N), jnp.float32)
+        n = jnp.zeros((B, 2, N, N), jnp.int32)
+        phi, n, _, _ = neighborhood_sweeps(jnp.int32(7), phi, n, N=N, kappa=kappa,
+                                           W=float('inf'), interval_phi=float(np.pi),
+                                           interval_n=1, sweeps=150, force_strips=force)
+        phi, n, _, inline = neighborhood_sweeps(jnp.int32(8), phi, n, N=N, kappa=kappa,
+                                                W=float('inf'), interval_phi=float(np.pi),
+                                                interval_n=1, sweeps=100, force_strips=force)
+        dn = jax.jit(jax.vmap(lambda x: calc.d(L, 1, x)))(n)
+        assert int(jnp.abs(dn).max()) == 0, tag
+        out[tag] = np.asarray(_villain_density(S)(phi, n))
+
+    ma, ea = out['mono'].mean(), out['mono'].std() / np.sqrt(B)
+    mb, eb = out['strip'].mean(), out['strip'].std() / np.sqrt(B)
+    pull = abs(ma - mb) / np.hypot(ea, eb)
+    assert pull < 5, f'mono {ma}({ea}) vs strip {mb}({eb}): pull {pull}'
