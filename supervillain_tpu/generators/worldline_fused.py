@@ -25,7 +25,6 @@ from .worldline import VortexUpdate, CoexactUpdate, WrappingUpdate
 
 def _pallas_supported(action):
     return (action.Lattice.D == 2 and action.Lattice.N % 2 == 0
-            and action.W < float('inf')
             and jax.default_backend() not in ('cpu',))
 
 
@@ -39,7 +38,8 @@ class FusedWorldlineUpdate(Generator):
             raise ValueError('Need a Worldline action')
         self.Action = action
         self.Lattice = action.Lattice
-        self.interval_v = int(interval_v)
+        # At W=inf the vortex proposal is continuous U(-interval_v, +interval_v).
+        self.interval_v = float(interval_v) if action.W == float('inf') else int(interval_v)
         self.interval_t = int(interval_t)
         self.interval_w = int(interval_w)
         self.sweeps_per_step = int(sweeps_per_step)
@@ -65,11 +65,12 @@ class FusedWorldlineUpdate(Generator):
 
         from ..ops.pallas_worldline import worldline_sweeps
         S, L = self.Action, self.Lattice
+        winf = S.W == float('inf')
         seed = jax.random.randint(key, (), 0, np.int32(2 ** 31 - 1), dtype=jnp.int32)
         m = cfg['m'].astype(jnp.int32)[None]
-        v = cfg['v'].astype(jnp.int32)[None]
+        v = cfg['v'].astype(jnp.float32 if winf else jnp.int32)[None]
         m, v, accepted = worldline_sweeps(
-            seed, m, v, N=L.N, kappa=S.kappa, W=int(S.W),
+            seed, m, v, N=L.N, kappa=S.kappa, W=S.W if winf else int(S.W),
             interval_v=self.interval_v, interval_t=self.interval_t,
             interval_w=self.interval_w, sweeps=self.sweeps_per_step)
         proposals = float((2 * L.sites + 2 * L.N) * self.sweeps_per_step)

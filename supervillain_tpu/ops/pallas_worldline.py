@@ -51,9 +51,14 @@ def _coface(f0, f1):
 
 
 def _make_kernel(N, kappa, W, interval_v, interval_t, interval_w, sweeps):
+    # W = inf selects the W=∞ action: v is a float field, the vortex proposal
+    # is continuous U(-interval_v, +interval_v), and the action's internal
+    # normalization _W = 2π (models/worldline.py; reference
+    # /root/reference/supervillain/action/worldline.py:46-50).
+    winf = (W == float('inf'))
     kappa = np.float32(kappa)
     inv2k = np.float32(0.5 / kappa)
-    fW = np.float32(W)
+    fW = np.float32(2 * np.pi) if winf else np.float32(W)
 
     def kernel(seed_ref, m_ref, v_ref, m_out, v_out, acc_out):
         chain = pl.program_id(0)
@@ -77,7 +82,11 @@ def _make_kernel(N, kappa, W, interval_v, interval_t, interval_w, sweeps):
         def vortex_pass(color, state):
             m0, m1, v, dv0, dv1, acc = state
             imask = jnp.where(parity == color, 1, 0)
-            dvv = _int_nonzero((N, N), interval_v) * imask
+            if winf:
+                dvv = (2.0 * _uniform((N, N)) - 1.0) * np.float32(interval_v) \
+                    * imask.astype(jnp.float32)
+            else:
+                dvv = _int_nonzero((N, N), interval_v) * imask
             c0, c1 = _delta2(dvv)
             c0f = c0.astype(jnp.float32) / fW
             c1f = c1.astype(jnp.float32) / fW
@@ -162,10 +171,14 @@ def _make_strip_kernel(N, Rb, kappa, W, interval_v, interval_t, interval_w, swee
     neighbor strip that are disjoint from its own writes and reads (even N).
     The wrapping pass needs whole-cycle ΔS sums, so it runs as two strip walks:
     accumulate per-cycle ΔS, then apply the accepted shifts.
+
+    ``W = inf``: float v, continuous vortex proposal, _W = 2π (see
+    :func:`_make_kernel`); the spill pattern is unchanged.
     """
+    winf = (W == float('inf'))
     kappa = np.float32(kappa)
     inv2k = np.float32(0.5 / kappa)
-    fW = np.float32(W)
+    fW = np.float32(2 * np.pi) if winf else np.float32(W)
     S = N // Rb
     pad = (Rb + 1, N)   # body rows + one halo row below
 
@@ -210,7 +223,11 @@ def _make_strip_kernel(N, Rb, kappa, W, interval_v, interval_t, interval_w, swee
             l0 = m0.astype(jnp.float32) - dv0 / fW
             l1 = m1.astype(jnp.float32) - dv1 / fW
 
-            prop = _int_nonzero(pad, interval_v if which == 0 else interval_t) * imask
+            if which == 0 and winf:
+                prop = (2.0 * _uniform(pad) - 1.0) * np.float32(interval_v) \
+                    * imask.astype(jnp.float32)
+            else:
+                prop = _int_nonzero(pad, interval_v if which == 0 else interval_t) * imask
             # δ(prop): c0 lateral; c1[y] = -prop[y] + prop[y-1].
             c0 = prop - _rxn(prop, 1)
             c1 = -prop + dn(prop)
@@ -322,13 +339,15 @@ def worldline_sweeps(seed, m, v, *, N, kappa, W, interval_v=1, interval_t=1,
     ----------
     seed: int32 ()
     m: (B, 2, N, N) int32
-    v: (B, 1, N, N) int32
+    v: (B, 1, N, N) int32 (finite W) or float32 (W = inf)
 
     Returns
     -------
     (m, v, accepted): updated fields and per-chain accepted counts (B,).
     """
     B = m.shape[0]
+    vdt = jnp.float32 if W == float('inf') else jnp.int32
+    v = v.astype(vdt)
     m_spec = pl.BlockSpec((1, 2, N, N), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM)
     v_spec = pl.BlockSpec((1, 1, N, N), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM)
     a_spec = pl.BlockSpec((1, 8, 128), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
@@ -347,7 +366,7 @@ def worldline_sweeps(seed, m, v, *, N, kappa, W, interval_v=1, interval_t=1,
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM), m_spec, v_spec],
         out_specs=(m_spec, v_spec, a_spec),
         out_shape=(jax.ShapeDtypeStruct(m.shape, jnp.int32),
-                   jax.ShapeDtypeStruct(v.shape, jnp.int32),
+                   jax.ShapeDtypeStruct(v.shape, vdt),
                    jax.ShapeDtypeStruct((B, 8, 128), jnp.float32)),
         scratch_shapes=scratch,
         **({'compiler_params': params} if params is not None else {}),

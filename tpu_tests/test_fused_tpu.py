@@ -331,3 +331,54 @@ def test_fused_winf_strip_kernel_statistics():
     mb, eb = out['strip'].mean(), out['strip'].std() / np.sqrt(B)
     pull = abs(ma - mb) / np.hypot(ea, eb)
     assert pull < 5, f'mono {ma}({ea}) vs strip {mb}({eb}): pull {pull}'
+
+
+@requires_tpu
+def test_worldline_fused_winf_kernel_statistics():
+    """W=∞ worldline fused kernel: float v, continuous vortex proposal,
+    _W = 2π.  δm = 0 preserved exactly; link-squared density agrees with the
+    XLA local-update stack at the self-dual coupling."""
+    from supervillain_tpu.ops.pallas_worldline import worldline_sweeps
+    from supervillain_tpu.ops import calculus as calc
+    N, B = 128, 32
+    kappa = float(0.5 / np.pi)
+    L = sv.Lattice2D(N)
+    S = sv.Worldline(L, kappa, W=float('inf'))
+
+    m = jnp.zeros((B, 2, N, N), jnp.int32)
+    v = jnp.zeros((B, 1, N, N), jnp.float32)
+    m, v, _ = worldline_sweeps(jnp.int32(9), m, v, N=N, kappa=kappa, W=float('inf'),
+                               sweeps=100)
+    m, v, acc = worldline_sweeps(jnp.int32(10), m, v, N=N, kappa=kappa, W=float('inf'),
+                                 sweeps=50)
+    assert v.dtype == jnp.float32
+    assert float(jnp.abs(v).max()) > 0  # the continuous vortex field moved
+    dm = jax.jit(jax.vmap(lambda x: calc.delta(L, 1, x)))(m)
+    assert int(jnp.abs(dm).max()) == 0  # δm = 0 exactly on every chain
+    pallas_L2 = np.asarray(_worldline_density(S)(m, v))
+
+    from supervillain_tpu.generators import worldline as gw
+    from supervillain_tpu.generators import Sequentially
+    G = Sequentially((gw.VortexUpdate(S), gw.CoexactUpdate(S), gw.WrappingUpdate(S)))
+    def one(k, c, s):
+        c, s, _ = G.step(k, c, s)
+        return c, s
+    cfgs = {'m': jnp.zeros((B, 2, N, N), jnp.int32),
+            'v': jnp.zeros((B, 1, N, N), jnp.float32)}
+    stats = jax.tree.map(lambda x: jnp.broadcast_to(x, (B,) + x.shape).astype(jnp.float32),
+                         G.init_stats())
+    @jax.jit
+    def steps(key, cfgs, stats):
+        def body(carry, k):
+            cfgs, stats = carry
+            keys = jax.vmap(lambda i: jax.random.fold_in(k, i))(jnp.arange(B))
+            return jax.vmap(one)(keys, cfgs, stats), None
+        (cfgs, stats), _ = jax.lax.scan(body, (cfgs, stats), jax.random.split(key, 150))
+        return cfgs, stats
+    cfgs, stats = steps(jax.random.key(2), cfgs, stats)
+    xla_L2 = np.asarray(_worldline_density(S)(cfgs['m'], cfgs['v']))
+
+    ma, ea = pallas_L2.mean(), pallas_L2.std() / np.sqrt(B)
+    mb, eb = xla_L2.mean(), xla_L2.std() / np.sqrt(B)
+    pull = abs(ma - mb) / np.hypot(ea, eb)
+    assert pull < 5, f'pallas {ma}({ea}) vs xla {mb}({eb}): pull {pull}'
