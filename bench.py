@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import json
 import os
+import sys
 import time
 
 import numpy as np
@@ -97,6 +98,42 @@ def _fused_rate(jnp, fn, L, B, sweeps, reps, kappa, cpp=1):
     return reps * B * L * L * sweeps / elapsed, elapsed
 
 
+def _scaling_summary(fast):
+    """Weak-scaling evidence for the bench record.
+
+    Runs the virtual-8-device CPU harness in a subprocess (the TPU-owning
+    process cannot re-init a CPU mesh) and reports its table plus the
+    collective audit; falls back to the committed SCALING_r03.json artifact
+    if the subprocess cannot run (or BENCH_FAST is set)."""
+    import subprocess
+    here = os.path.dirname(os.path.abspath(__file__))
+    out_path = os.path.join(here, 'SCALING_r03.json')
+    if not fast:
+        env = dict(os.environ, JAX_PLATFORMS='cpu')
+        env.pop('XLA_FLAGS', None)
+        try:
+            subprocess.run(
+                [sys.executable, '-m', 'supervillain_tpu.benchmark.scaling',
+                 '--virtual-cpu', '8', '--N', '32', '--chains-per-device', '16',
+                 '--steps', '20', '--json', out_path],
+                cwd=here, env=env, timeout=420, check=True,
+                stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+        except Exception as e:
+            print(f'# scaling subprocess unavailable ({e}); using committed artifact',
+                  flush=True)
+    try:
+        with open(out_path) as f:
+            data = json.load(f)
+    except FileNotFoundError:
+        return None
+    return {
+        'weak_scaling_virtual_cpu': data.get('weak_scaling'),
+        'collectives_in_compiled_step': data.get('collectives_in_compiled_step'),
+        'host_physical_cores': data.get('config', {}).get('host_physical_cores'),
+        'note': data.get('note'),
+    }
+
+
 def main():
     import jax
     # Counter-based RBG keys are substantially cheaper than threefry on TPU.
@@ -160,6 +197,7 @@ def main():
                     'hbm_bytes_per_su': 24.0 / 50,
                     'hbm_fraction': rate * 24.0 / 50 / V5E_HBM_BW,
                 },
+                'scaling': _scaling_summary(fast),
             },
         }))
         return
