@@ -76,9 +76,15 @@ def _roll(x, shift, axis):
 
 def _make_kernel(N, kappa, W, interval_phi, interval_n, sweeps, C0=1, C1=1, p_n=None):
     """C0/C1 > 1 pack a (C0, C1) tile of chains into one program's block — C0 along
-    sublanes, C1 along lanes, each chain an N×N segment — so small lattices still
-    fill the vector registers AND amortize the per-program fixed cost.  Rolls wrap
-    within each chain's segment (full roll + wrap-roll selected at segment edges).
+    sublanes, C1 along lanes — so small lattices still fill the vector registers
+    AND amortize the per-program fixed cost.
+
+    The packed layout is **interleaved**, not blocked: row = t·C0 + chain_row,
+    lane = x·C1 + chain_col.  A per-chain periodic shift by s sites is then one
+    full-vector ``pltpu.roll`` by s·C0 (or s·C1) — the roll rotates every
+    chain's sites cyclically at once, with *no* segment-boundary correction
+    (the blocked layout needed 2 rolls + a select per shift, measured ~10-20%
+    of kernel time at N=64).
 
     ``W = inf`` selects z-mode: instead of independent Δn on the four adjacent
     links, each color-c site proposes (Δφ, Δz) with Δn = d(Δz) — the fused
@@ -97,29 +103,15 @@ def _make_kernel(N, kappa, W, interval_phi, interval_n, sweeps, C0=1, C1=1, p_n=
 
         row = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
         lane = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
-        it = row % N
-        ix = lane % N
+        it = row // C0
+        ix = lane // C1
         parity = (it + ix) % 2
 
-        def _segment_roll(x, shift, axis, within):
-            full = _roll(x, shift, axis)
-            wrap = _roll(x, shift - np.sign(shift) * N, axis)
-            edge = (within == (N - 1)) if shift < 0 else (within == 0)
-            return jnp.where(edge, wrap, full)
+        def _rt(x, shift):
+            return _roll(x, shift * C0, 0)
 
-        if C1 == 1:
-            def _rx(x, shift):
-                return _roll(x, shift, 1)
-        else:
-            def _rx(x, shift):
-                return _segment_roll(x, shift, 1, ix)
-
-        if C0 == 1:
-            def _rt(x, shift):
-                return _roll(x, shift, 0)
-        else:
-            def _rt(x, shift):
-                return _segment_roll(x, shift, 0, it)
+        def _rx(x, shift):
+            return _roll(x, shift * C1, 1)
 
         phi = phi_ref[0, 0]
         n0 = n_ref[0, 0]
@@ -128,11 +120,19 @@ def _make_kernel(N, kappa, W, interval_phi, interval_n, sweeps, C0=1, C1=1, p_n=
         r0 = (_rt(phi, -1) - phi) - TWO_PI * n0.astype(jnp.float32)
         r1 = (_rx(phi, -1) - phi) - TWO_PI * n1.astype(jnp.float32)
 
+        # Color masks and their rolled twins are loop-invariant; computing them
+        # once outside the sweep loop saves 4 (segmented) rolls per color pass —
+        # a measurable win when packing makes every roll cost 2 rolls + select.
+        _masks = []
+        for color in (0, 1):
+            im = jnp.where(parity == color, 1, 0)
+            _masks.append((im, im.astype(jnp.float32),
+                           _rt(im, -1), _rx(im, -1)))
+
         def color_pass(color, state):
             # Boolean vectors cannot be rotated by Mosaic; keep masks as i32/f32.
             phi, n0, n1, r0, r1, acc = state
-            imask = jnp.where(parity == color, 1, 0)
-            fmask = imask.astype(jnp.float32)
+            imask, fmask, imask_t, imask_x = _masks[color]
 
             dphi = (2.0 * _uniform(shape) - 1.0) * interval_phi * fmask
             if p_n is None:
@@ -141,39 +141,50 @@ def _make_kernel(N, kappa, W, interval_phi, interval_n, sweeps, C0=1, C1=1, p_n=
                 draw = lambda: _int_sparse(shape, interval_n, p_n)
             if winf:
                 dz = draw() * imask
-                cn0 = _rt(dz, -1) - dz
-                cn1 = _rx(dz, -1) - dz
+                dz_t = _rt(dz, -1)
+                dz_x = _rx(dz, -1)
+                cn0 = dz_t - dz
+                cn1 = dz_x - dz
             else:
                 fwd0 = (W * draw()) * imask
                 fwd1 = (W * draw()) * imask
-                bwd0 = (W * draw()) * _rt(imask, -1)
-                bwd1 = (W * draw()) * _rx(imask, -1)
+                bwd0 = (W * draw()) * imask_t
+                bwd1 = (W * draw()) * imask_x
                 cn0 = fwd0 + bwd0
                 cn1 = fwd1 + bwd1
 
-            cr0 = (_rt(dphi, -1) - dphi) - TWO_PI * cn0.astype(jnp.float32)
-            cr1 = (_rx(dphi, -1) - dphi) - TWO_PI * cn1.astype(jnp.float32)
+            # The rolled proposal/accept arrays are reused below via
+            # roll(a·b) = roll(a)·roll(b) — each reuse saves one (segmented)
+            # roll, the dominant non-ALU cost under chain packing.
+            dphi_t = _rt(dphi, -1)
+            dphi_x = _rx(dphi, -1)
+            cr0 = (dphi_t - dphi) - TWO_PI * cn0.astype(jnp.float32)
+            cr1 = (dphi_x - dphi) - TWO_PI * cn1.astype(jnp.float32)
             t0 = (kappa / 2) * cr0 * (2.0 * r0 + cr0)
             t1 = (kappa / 2) * cr1 * (2.0 * r1 + cr1)
             dS = t0 + t1 + _rt(t0, 1) + _rx(t1, 1)
 
             accept = jnp.where(_uniform(shape) < jnp.exp(-dS), 1, 0) * imask
             facc = accept.astype(jnp.float32)
+            acc_t = _rt(accept, -1)
+            acc_x = _rx(accept, -1)
 
             a_phi = dphi * facc
             if winf:
                 az = dz * accept
-                a_n0 = _rt(az, -1) - az
-                a_n1 = _rx(az, -1) - az
+                a_n0 = dz_t * acc_t - az
+                a_n1 = dz_x * acc_x - az
             else:
-                a_n0 = fwd0 * accept + bwd0 * _rt(accept, -1)
-                a_n1 = fwd1 * accept + bwd1 * _rx(accept, -1)
+                a_n0 = fwd0 * accept + bwd0 * acc_t
+                a_n1 = fwd1 * accept + bwd1 * acc_x
 
             phi = phi + a_phi
             n0 = n0 + a_n0
             n1 = n1 + a_n1
-            r0 = r0 + (_rt(a_phi, -1) - a_phi) - TWO_PI * a_n0.astype(jnp.float32)
-            r1 = r1 + (_rx(a_phi, -1) - a_phi) - TWO_PI * a_n1.astype(jnp.float32)
+            r0 = r0 + (dphi_t * acc_t.astype(jnp.float32) - a_phi) \
+                - TWO_PI * a_n0.astype(jnp.float32)
+            r1 = r1 + (dphi_x * acc_x.astype(jnp.float32) - a_phi) \
+                - TWO_PI * a_n1.astype(jnp.float32)
             acc = acc + jnp.sum(facc)
             return phi, n0, n1, r0, r1, acc
 
@@ -424,14 +435,16 @@ def neighborhood_sweeps(seed, phi, n, *, N, kappa, W, interval_phi, interval_n,
     C0 = C // C1
     R, CN = C0 * N, C1 * N
 
+    # Interleaved packing: row = t*C0 + chain_row, lane = x*C1 + chain_col
+    # (see _make_kernel: per-chain periodic shifts become plain strided rolls).
     def pack(x):
         k = x.shape[1]
-        return (x.reshape(G, C0, C1, k, N, N).transpose(0, 3, 1, 4, 2, 5)
+        return (x.reshape(G, C0, C1, k, N, N).transpose(0, 3, 4, 1, 5, 2)
                 .reshape(G, k, R, CN))
 
     def unpack(x):
         k = x.shape[1]
-        return (x.reshape(G, k, C0, N, C1, N).transpose(0, 2, 4, 1, 3, 5)
+        return (x.reshape(G, k, N, C0, N, C1).transpose(0, 3, 5, 1, 2, 4)
                 .reshape(B, k, N, N))
 
     phi_p = pack(phi) if C > 1 else phi
