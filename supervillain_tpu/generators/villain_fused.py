@@ -140,6 +140,97 @@ class FusedExactNeighborhoodUpdate(FusedNeighborhoodUpdate):
         return self.p_n
 
 
+class FusedHammer(Generator):
+    """In-kernel Hammer composition (:mod:`supervillain_tpu.ops.pallas_hammer`):
+    one Pallas launch runs ``sweeps_per_step`` neighborhood sweeps *and*
+    ``worms`` classic worms per chain on the same VMEM-resident residuals — the
+    ergodic W=1 fleet composite with zero extra launches and no cross-chain
+    worm lock-step.  Inline ``ActionDensity``/``WindingSquared`` (per-sweep
+    averages) and the worm's ``Vortex_Vortex``/``Worm_Length`` come back from
+    the kernel.
+
+    TPU-only, D=2, N a multiple of 128, finite W; elsewhere falls back to the
+    XLA ``Sequentially(NeighborhoodUpdate, KeepEvery(worms, ClassicWorm))`` with
+    the same stats tags."""
+
+    name = 'FusedHammer'
+    fields = ('phi', 'n')
+
+    def __init__(self, action, interval_phi=np.pi, interval_n=1, sweeps_per_step=1,
+                 worms=1, p_n=None):
+        if not isinstance(action, Villain):
+            raise ValueError('Need a Villain action')
+        if action.W == float('inf'):
+            raise ValueError('FusedHammer needs finite W (the neighborhood '
+                             'section proposes Δn in multiples of W).')
+        self.Action = action
+        self.Lattice = action.Lattice
+        self.interval_phi = float(interval_phi)
+        self.interval_n = int(interval_n)
+        self.sweeps_per_step = int(sweeps_per_step)
+        self.worms = int(worms)
+        self.p_n = None if p_n is None else float(p_n)
+        self._fallback = None
+        if not (_pallas_supported(action) and action.Lattice.N % 128 == 0):
+            from .villain import NeighborhoodUpdate, ClassicWorm
+            from .combining import Sequentially, KeepEvery
+            nu = NeighborhoodUpdate(action, interval_phi, interval_n, p_n=p_n)
+            worm = ClassicWorm(action)
+            parts = [KeepEvery(self.sweeps_per_step, nu) if self.sweeps_per_step > 1 else nu,
+                     KeepEvery(worms, worm) if worms > 1 else worm]
+            self._fallback = Sequentially(parts)
+
+    def init_stats(self):
+        if self._fallback is not None:
+            return self._fallback.init_stats()
+        zero = lambda: {'accepted': jnp.zeros(()), 'proposed': jnp.zeros(()),
+                        'acceptance': jnp.zeros(()), 'sweeps': jnp.zeros(())}
+        return {'NeighborhoodUpdate': zero(), 'ClassicWorm': zero()}
+
+    def inline_shapes(self):
+        L = self.Lattice
+        if self._fallback is not None:
+            return self._fallback.inline_shapes()
+        return {'ActionDensity': ((), jnp.float32),
+                'WindingSquared': ((), jnp.float32),
+                'Vortex_Vortex': ((L.N, L.N), jnp.float32),
+                'Worm_Length': ((), jnp.float32)}
+
+    def step(self, key, cfg, stats):
+        if self._fallback is not None:
+            return self._fallback.step(key, cfg, stats)
+
+        from ..ops.pallas_hammer import hammer_sweeps
+        S, L = self.Action, self.Lattice
+        seed = jax.random.randint(key, (), 0, np.int32(2 ** 31 - 1), dtype=jnp.int32)
+        phi = cfg['phi'].astype(jnp.float32)[None]
+        n = cfg['n'].astype(jnp.int32)[None]
+        phi, n, accepted, inline = hammer_sweeps(
+            seed, phi, n, N=L.N, kappa=S.kappa, W=int(S.W),
+            interval_phi=self.interval_phi, interval_n=self.interval_n,
+            sweeps=self.sweeps_per_step, worms=self.worms, p_n=self.p_n)
+        wl = inline['Worm_Length'][0]
+        su = float(L.sites * self.sweeps_per_step)
+        sN = stats['NeighborhoodUpdate']
+        sW = stats['ClassicWorm']
+        stats = stats | {
+            'NeighborhoodUpdate': {
+                'accepted': sN['accepted'] + accepted[0],
+                'proposed': sN['proposed'] + su,
+                'acceptance': sN['acceptance'] + accepted[0] / su,
+                'sweeps': sN['sweeps'] + float(self.sweeps_per_step)},
+            'ClassicWorm': {
+                'accepted': sW['accepted'] + wl,
+                'proposed': sW['proposed'] + wl,
+                'acceptance': sW['acceptance'] + 1.0,
+                'sweeps': sW['sweeps'] + float(self.worms)},
+        }
+        out = dict(cfg)
+        out['phi'] = phi[0].astype(cfg['phi'].dtype)
+        out['n'] = n[0].astype(cfg['n'].dtype)
+        return out, stats, {k: v[0] for k, v in inline.items()}
+
+
 class FusedClassicWorm(Generator):
     """In-kernel classic worm (:mod:`supervillain_tpu.ops.pallas_worm`): each
     chain's worm loop runs sequentially inside one Pallas program with the link

@@ -78,6 +78,8 @@ _SPEC_ARGS = {
     'WrappingUpdate': ('interval_w',),
     'PlaquetteUpdate': (),
     'FusedWorldlineUpdate': ('interval_v', 'interval_t', 'interval_w', 'sweeps_per_step'),
+    'FusedHammer': ('interval_phi', 'interval_n', 'sweeps_per_step', 'worms', 'p_n'),
+    'FusedClassicWorm': ('worms',),
     'ClassicWorm': ('max_moves',),
     'ChunkedWorm': ('moves_per_step',),
     'DoNothing': (),

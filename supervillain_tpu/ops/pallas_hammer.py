@@ -1,0 +1,304 @@
+"""Pallas TPU kernel: the fused Villain Hammer — sweeps *and* worms in one launch.
+
+Composes the two validated kernel bodies into a single program per chain:
+
+1. ``sweeps`` whole checkerboarded neighborhood sweeps (proposal + ΔS + accept +
+   apply, the :mod:`.pallas_sweep` body) with the link residuals
+   r_mu = dφ_mu − 2πn_mu maintained in VMEM, then
+2. ``worms`` sequential classic worms (the :mod:`.pallas_worm` body) consuming
+   the *same* VMEM-resident residuals — no HBM round-trip or separate launch
+   between the local updates and the worm, and no cross-chain lock-step for the
+   data-dependent worm lengths (a fleet pays mean, not max, worm work).
+
+This is the in-kernel Hammer composition: sampling-wise it equals
+``Sequentially(NeighborhoodUpdate(sweeps), KeepEvery(worms, ClassicWorm))``
+(reference Hammer composition, /root/reference/supervillain/generator/villain/
+__init__.py:10-63, with the Site/Link pair fused as the neighborhood update) up
+to PRNG streams; each section's move semantics match its standalone kernel,
+which are validated against the XLA generators on hardware.
+
+D=2, even N with N a multiple of 128 (the worm's lane-masked scalar access needs
+the lattice to fill whole 128-lane tiles; L=128 and L=256 are the fleet
+workloads), finite W.  Grid: one program per chain.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .pallas_sweep import _uniform, _int_in, _int_sparse, _roll
+
+TWO_PI = np.float32(2 * np.pi)
+_GOLD = np.int32(2654435761 & 0x7FFFFFFF)
+
+
+def _make_hammer_kernel(N, kappa, W, interval_phi, interval_n, sweeps, worms,
+                        p_n=None):
+    kappa = np.float32(kappa)
+    interval_phi = np.float32(interval_phi)
+    closed_always = (W == 1)
+    shape = (N, N)
+
+    # Worm move tables (generators.villain.ClassicWorm / pallas_worm).
+    MOVE_T = (0, 1, 0, -1)
+    MOVE_X = (-1, 0, 1, 0)
+    LINK_DIR = (0, 1, 0, 1)
+    OFF_T = (0, 1, 0, 0)
+    OFF_X = (0, 0, 1, 0)
+    PLAQ = (1, 1, -1, -1)
+
+    def pick(choice, table):
+        out = jnp.int32(table[0])
+        for c in (1, 2, 3):
+            out = jnp.where(choice == c, jnp.int32(table[c]), out)
+        return out
+
+    def kernel(seed_ref, phi_ref, n_ref, phi_out, n_out, hist_ref, stat_ref,
+               r0_s, r1_s):
+        chain = pl.program_id(0)
+        pltpu.prng_seed(seed_ref[0] + chain * _GOLD)
+
+        row = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+        lane = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+        parity = (row + lane) % 2
+
+        _rt = lambda x, s: _roll(x, s, 0)
+        _rx = lambda x, s: _roll(x, s, 1)
+
+        phi = phi_ref[0, 0]
+        n0 = n_ref[0, 0]
+        n1 = n_ref[0, 1]
+        r0 = (_rt(phi, -1) - phi) - TWO_PI * n0.astype(jnp.float32)
+        r1 = (_rx(phi, -1) - phi) - TWO_PI * n1.astype(jnp.float32)
+
+        _masks = []
+        for color in (0, 1):
+            im = jnp.where(parity == color, 1, 0)
+            _masks.append((im, im.astype(jnp.float32), _rt(im, -1), _rx(im, -1)))
+
+        if p_n is None:
+            draw = lambda: _int_in(shape, interval_n)
+        else:
+            draw = lambda: _int_sparse(shape, interval_n, p_n)
+
+        # ---- section 1: neighborhood sweeps (pallas_sweep color passes) ----
+
+        def color_pass(color, state):
+            phi, n0, n1, r0, r1, acc = state
+            imask, fmask, imask_t, imask_x = _masks[color]
+
+            dphi = (2.0 * _uniform(shape) - 1.0) * interval_phi * fmask
+            fwd0 = (W * draw()) * imask
+            fwd1 = (W * draw()) * imask
+            bwd0 = (W * draw()) * imask_t
+            bwd1 = (W * draw()) * imask_x
+            cn0 = fwd0 + bwd0
+            cn1 = fwd1 + bwd1
+
+            dphi_t = _rt(dphi, -1)
+            dphi_x = _rx(dphi, -1)
+            cr0 = (dphi_t - dphi) - TWO_PI * cn0.astype(jnp.float32)
+            cr1 = (dphi_x - dphi) - TWO_PI * cn1.astype(jnp.float32)
+            t0 = (kappa / 2) * cr0 * (2.0 * r0 + cr0)
+            t1 = (kappa / 2) * cr1 * (2.0 * r1 + cr1)
+            dS = t0 + t1 + _rt(t0, 1) + _rx(t1, 1)
+
+            accept = jnp.where(_uniform(shape) < jnp.exp(-dS), 1, 0) * imask
+            facc = accept.astype(jnp.float32)
+            acc_t = _rt(accept, -1)
+            acc_x = _rx(accept, -1)
+
+            a_phi = dphi * facc
+            a_n0 = fwd0 * accept + bwd0 * acc_t
+            a_n1 = fwd1 * accept + bwd1 * acc_x
+
+            phi = phi + a_phi
+            n0 = n0 + a_n0
+            n1 = n1 + a_n1
+            r0 = r0 + (dphi_t * acc_t.astype(jnp.float32) - a_phi) \
+                - TWO_PI * a_n0.astype(jnp.float32)
+            r1 = r1 + (dphi_x * acc_x.astype(jnp.float32) - a_phi) \
+                - TWO_PI * a_n1.astype(jnp.float32)
+            acc = acc + jnp.sum(facc)
+            return phi, n0, n1, r0, r1, acc
+
+        def sweep(s, state):
+            phi, n0, n1, r0, r1, acc, sS, sw2 = state
+            phi, n0, n1, r0, r1, acc = color_pass(
+                1, color_pass(0, (phi, n0, n1, r0, r1, acc)))
+            sS = sS + (kappa / 2) * (jnp.sum(r0 * r0) + jnp.sum(r1 * r1)) \
+                * np.float32(1.0 / (N * N))
+            dn = (_rt(n1, -1) - n1) - (_rx(n0, -1) - n0)
+            dnf = dn.astype(jnp.float32)
+            sw2 = sw2 + jnp.sum(dnf * dnf) * np.float32(1.0 / (N * N))
+            return phi, n0, n1, r0, r1, acc, sS, sw2
+
+        phi, n0, n1, r0, r1, acc, sS, sw2 = jax.lax.fori_loop(
+            0, sweeps, sweep,
+            (phi, n0, n1, r0, r1, jnp.float32(0.0), jnp.float32(0.0),
+             jnp.float32(0.0)))
+
+        phi_out[0, 0] = phi
+        n_out[0, 0] = n0
+        n_out[0, 1] = n1
+        hist_ref[0] = jnp.zeros(shape, jnp.float32)
+        r0_s[:] = r0
+        r1_s[:] = r1
+
+        # ---- section 2: classic worms on the resident residuals ------------
+
+        def draws():
+            bits = pltpu.bitcast(pltpu.prng_random_bits((8, 128)), jnp.int32)
+            return bits[0, 0], bits[0, 1], bits[0, 2], bits[0, 3]
+
+        def unif(w):
+            low24 = jax.lax.bitwise_and(w, jnp.int32(0x00FFFFFF))
+            return low24.astype(jnp.float32) * np.float32(2 ** -24)
+
+        def rand_site(w):
+            return jnp.floor(unif(w) * np.float32(N)).astype(jnp.int32)
+
+        lane1 = jax.lax.broadcasted_iota(jnp.int32, (1, N), 1)
+
+        def load1(ref, i, j):
+            r = ref[pl.ds(i, 1), :]
+            return jnp.sum(jnp.where(lane1 == j, r, jnp.zeros_like(r)))
+
+        def add1(ref, i, j, val):
+            r = ref[pl.ds(i, 1), :]
+            ref[pl.ds(i, 1), :] = r + jnp.where(lane1 == j, val, jnp.zeros_like(r))
+
+        def worm_body(w, carry):
+            w0, w1, w2, w3 = draws()
+            orientation = jnp.where(w0 > 0, jnp.int32(1), jnp.int32(-1))
+            tail_t = rand_site(w1)
+            tail_x = rand_site(w2)
+            if closed_always:
+                w4, w5, _, _ = draws()
+                head0_t = rand_site(w4)
+                head0_x = rand_site(w5)
+            else:
+                head0_t, head0_x = tail_t, tail_x
+
+            def cond(state):
+                return state[0] == 0
+
+            def body(state):
+                _, head_t, head_x = state
+                c0, c1, c2, _ = draws()
+                u_close = unif(c0)
+                choice = jax.lax.bitwise_and(c1, jnp.int32(3))
+                u_acc = unif(c2)
+
+                if closed_always:
+                    closed = jnp.bool_(True)
+                else:
+                    closed = (head_t == tail_t) & (head_x == tail_x)
+                close_now = closed & (u_close >= np.float32(0.8))
+
+                next_t = jax.lax.rem(head_t + pick(choice, MOVE_T) + N, jnp.int32(N))
+                next_x = jax.lax.rem(head_x + pick(choice, MOVE_X) + N, jnp.int32(N))
+                ld = pick(choice, LINK_DIR)
+                lt = jax.lax.rem(head_t + pick(choice, OFF_T), jnp.int32(N))
+                lx = jax.lax.rem(head_x + pick(choice, OFF_X), jnp.int32(N))
+                dn = orientation * pick(choice, PLAQ)
+
+                link_val = jnp.where(ld == 0, load1(r0_s, lt, lx),
+                                     load1(r1_s, lt, lx))
+                dnf = dn.astype(jnp.float32)
+                dS = (kappa / 2) * (-TWO_PI * dnf) * (2.0 * link_val - TWO_PI * dnf)
+                accept = (u_acc < jnp.exp(-dS)) & ~close_now
+
+                @pl.when(accept & (ld == 0))
+                def _():
+                    add1(n_out.at[0, 0], lt, lx, dn)
+                    add1(r0_s, lt, lx, -TWO_PI * dnf)
+
+                @pl.when(accept & (ld == 1))
+                def _():
+                    add1(n_out.at[0, 1], lt, lx, dn)
+                    add1(r1_s, lt, lx, -TWO_PI * dnf)
+
+                head_t = jnp.where(accept, next_t, head_t)
+                head_x = jnp.where(accept, next_x, head_x)
+
+                @pl.when(~close_now)
+                def _():
+                    dt = jax.lax.rem(head_t - tail_t + N, jnp.int32(N))
+                    dx = jax.lax.rem(head_x - tail_x + N, jnp.int32(N))
+                    add1(hist_ref.at[0], dt, dx, np.float32(1.0))
+
+                return (jnp.where(close_now, jnp.int32(1), jnp.int32(0)),
+                        head_t, head_x)
+
+            jax.lax.while_loop(cond, body, (jnp.int32(0), head0_t, head0_x))
+            return carry
+
+        jax.lax.fori_loop(0, worms, worm_body, jnp.int32(0))
+
+        length = jnp.sum(hist_ref[0])
+        stat_ref[0] = jnp.concatenate([
+            jnp.full((1, 128), acc, jnp.float32),
+            jnp.full((1, 128), sS, jnp.float32),
+            jnp.full((1, 128), sw2, jnp.float32),
+            jnp.full((1, 128), length, jnp.float32),
+            jnp.zeros((4, 128), jnp.float32),
+        ], axis=0)
+
+    return kernel
+
+
+@partial(jax.jit, static_argnames=('N', 'kappa', 'W', 'interval_phi', 'interval_n',
+                                   'sweeps', 'worms', 'p_n', 'interpret'))
+def hammer_sweeps(seed, phi, n, *, N, kappa, W, interval_phi, interval_n,
+                  sweeps, worms=1, p_n=None, interpret=False):
+    """Run ``sweeps`` fused neighborhood sweeps followed by ``worms`` classic
+    worms per chain, in one Pallas launch.
+
+    Parameters
+    ----------
+    seed: int32 ()
+    phi: (B, 1, N, N) float32
+    n: (B, 2, N, N) int32
+
+    Returns
+    -------
+    (phi, n, accepted, inline): updated fields, per-chain accepted sweep-move
+    counts (B,), and inline observables: per-sweep-averaged ``ActionDensity``
+    and ``WindingSquared``, the worm ``Vortex_Vortex`` histogram (B, N, N), and
+    ``Worm_Length`` (B,).
+    """
+    if N % 128 != 0:
+        raise ValueError('hammer_sweeps needs N to be a multiple of 128 '
+                         '(the worm section addresses whole 128-lane tiles).')
+    B = phi.shape[0]
+    kernel = _make_hammer_kernel(N, kappa, W, interval_phi, interval_n,
+                                 sweeps, worms, p_n=p_n)
+    phi_spec = pl.BlockSpec((1, 1, N, N), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM)
+    n_spec = pl.BlockSpec((1, 2, N, N), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM)
+    out_phi, out_n, hist, stat = pl.pallas_call(
+        kernel,
+        grid=(B,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM), phi_spec, n_spec],
+        out_specs=(phi_spec, n_spec,
+                   pl.BlockSpec((1, N, N), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+                   pl.BlockSpec((1, 8, 128), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)),
+        out_shape=(jax.ShapeDtypeStruct(phi.shape, jnp.float32),
+                   jax.ShapeDtypeStruct(n.shape, jnp.int32),
+                   jax.ShapeDtypeStruct((B, N, N), jnp.float32),
+                   jax.ShapeDtypeStruct((B, 8, 128), jnp.float32)),
+        scratch_shapes=[pltpu.VMEM((N, N), jnp.float32),
+                        pltpu.VMEM((N, N), jnp.float32)],
+        interpret=interpret,
+    )(jnp.asarray(seed, jnp.int32).reshape(1), phi, n)
+    inline = {'ActionDensity': stat[:, 1, 0] / sweeps,
+              'WindingSquared': stat[:, 2, 0] / sweeps,
+              'Vortex_Vortex': hist,
+              'Worm_Length': stat[:, 3, 0]}
+    return out_phi, out_n, stat[:, 0, 0], inline

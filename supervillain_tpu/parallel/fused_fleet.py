@@ -26,19 +26,33 @@ from .fleet import Fleet
 
 
 def _fused_launch(action, *, N, thin, interval_phi, interval_n, p_n,
-                  chains_per_program, mesh=None, interpret=False, kernel_fn=None):
+                  chains_per_program, mesh=None, interpret=False, kernel_fn=None,
+                  worms=0):
     """(seed, phi, n) -> (phi, n, accepted, inline), optionally shard_mapped over
     the mesh's ``chains`` axis.  ``kernel_fn`` substitutes the Pallas kernel
     (same signature) — used to exercise the SPMD plumbing on CPU meshes where
-    the TPU kernel cannot run."""
-    from ..ops.pallas_sweep import neighborhood_sweeps
+    the TPU kernel cannot run.  ``worms > 0`` selects the fused Hammer kernel
+    (sweeps + in-kernel worms in one launch) and adds the worm's
+    Vortex_Vortex/Worm_Length to the inline outputs."""
     W = action.W if action.W == float('inf') else int(action.W)
-    kernel = partial(kernel_fn or neighborhood_sweeps,
-                     N=N, kappa=action.kappa, W=W,
-                     interval_phi=float(interval_phi), interval_n=int(interval_n),
-                     p_n=None if p_n is None else float(p_n),
-                     sweeps=thin, chains_per_program=chains_per_program,
-                     interpret=interpret)
+    if worms > 0 and kernel_fn is None:
+        from ..ops.pallas_hammer import hammer_sweeps
+        kernel = partial(hammer_sweeps,
+                         N=N, kappa=action.kappa, W=W,
+                         interval_phi=float(interval_phi), interval_n=int(interval_n),
+                         p_n=None if p_n is None else float(p_n),
+                         sweeps=thin, worms=int(worms), interpret=interpret)
+        inline_keys = ('ActionDensity', 'WindingSquared', 'Vortex_Vortex',
+                       'Worm_Length')
+    else:
+        from ..ops.pallas_sweep import neighborhood_sweeps
+        kernel = partial(kernel_fn or neighborhood_sweeps,
+                         N=N, kappa=action.kappa, W=W,
+                         interval_phi=float(interval_phi), interval_n=int(interval_n),
+                         p_n=None if p_n is None else float(p_n),
+                         sweeps=thin, chains_per_program=chains_per_program,
+                         interpret=interpret)
+        inline_keys = ('ActionDensity', 'WindingSquared')
     if mesh is None:
         return kernel
 
@@ -47,7 +61,7 @@ def _fused_launch(action, *, N, thin, interval_phi, interval_n, p_n,
         seed = seed + jax.lax.axis_index('chains') * jnp.int32(7919 * 2053)
         return kernel(seed, phi, n)
 
-    inline_spec = {'ActionDensity': P('chains'), 'WindingSquared': P('chains')}
+    inline_spec = {k: P('chains') for k in inline_keys}
     return jax.shard_map(
         local, mesh=mesh,
         in_specs=(P(), P('chains'), P('chains')),
@@ -58,13 +72,18 @@ def _fused_launch(action, *, N, thin, interval_phi, interval_n, p_n,
 def sample_fused_fleet(action, *, chains, steps, thin=10, seed=0,
                        interval_phi=np.pi, interval_n=1, p_n=None,
                        chains_per_program=None, keep_fields=False, progress=None,
-                       mesh=None, interpret=False, kernel_fn=None):
+                       mesh=None, interpret=False, kernel_fn=None, worms=0):
     """Sample ``chains`` Villain chains for ``steps`` kept records, each separated
     by ``thin`` fused sweeps.
 
     Returns a :class:`Fleet` whose columns are the inline observables (and the
     fields, if ``keep_fields``).  With a ``mesh`` (1-D, axis ``chains``) the chain
     batch is sharded across its devices.
+
+    ``worms > 0`` runs the fused Hammer kernel instead: every record's ``thin``
+    sweeps are followed by that many in-kernel classic worms per chain, whose
+    inline ``Vortex_Vortex`` histogram and ``Worm_Length`` become additional
+    fleet columns (requires N a multiple of 128, finite W).
     """
     L = action.Lattice
     N = L.N
@@ -84,7 +103,7 @@ def sample_fused_fleet(action, *, chains, steps, thin=10, seed=0,
     launch = _fused_launch(action, N=N, thin=thin, interval_phi=interval_phi,
                            interval_n=interval_n, p_n=p_n,
                            chains_per_program=chains_per_program, mesh=mesh,
-                           interpret=interpret, kernel_fn=kernel_fn)
+                           interpret=interpret, kernel_fn=kernel_fn, worms=worms)
 
     rng = np.random.default_rng(seed)
     columns = None

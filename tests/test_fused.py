@@ -6,6 +6,7 @@ tests/tpu/test_fused_tpu.py and runs on real hardware (driven by /verify and ben
 """
 
 import numpy as np
+import pytest
 
 import supervillain_tpu as sv
 from supervillain_tpu.generators import FusedNeighborhoodUpdate
@@ -78,3 +79,33 @@ def test_zero_inflated_int_proposal_is_symmetric():
     assert abs(p_plus - p_minus) < 0.01        # symmetric
     assert abs(p_plus + p_minus - 0.3) < 0.01  # inflation rate
     assert set(np.unique(draws)) <= {-2, -1, 0, 1, 2}
+
+
+def test_fused_hammer_fallback_runs_and_specs():
+    """Off-TPU, FusedHammer falls back to the XLA
+    Sequentially(KeepEvery(sweeps, NeighborhoodUpdate), ClassicWorm) with the
+    same stats tags, and its generator spec round-trips."""
+    from supervillain_tpu.generators.villain_fused import FusedHammer
+    from supervillain_tpu.io import generator_spec, generator_from_spec
+    S = sv.Villain(sv.Lattice2D(4), 0.5, W=1)
+    G = FusedHammer(S, interval_phi=1.0, interval_n=1, sweeps_per_step=3,
+                    worms=2, p_n=0.25)
+    assert G._fallback is not None
+    e = sv.Ensemble(S).generate(6, G, seed=3)
+    assert len(e) == 6
+    for i in range(6):
+        assert S.valid({'n': e.n[i]})
+    assert set(G.init_stats()) == {'NeighborhoodUpdate', 'ClassicWorm'}
+    # Inline worm observables ride through the fallback too.
+    assert 'Vortex_Vortex' in e.configuration.fields
+    spec = generator_spec(G)
+    G2 = generator_from_spec(spec, S)
+    assert generator_spec(G2) == spec
+    assert G2.worms == 2 and G2.sweeps_per_step == 3 and G2.p_n == 0.25
+
+
+def test_fused_hammer_rejects_w_inf():
+    from supervillain_tpu.generators.villain_fused import FusedHammer
+    S = sv.Villain(sv.Lattice2D(4), 0.5, W=float('inf'))
+    with pytest.raises(ValueError):
+        FusedHammer(S)

@@ -382,3 +382,74 @@ def test_worldline_fused_winf_kernel_statistics():
     mb, eb = xla_L2.mean(), xla_L2.std() / np.sqrt(B)
     pull = abs(ma - mb) / np.hypot(ea, eb)
     assert pull < 5, f'pallas {ma}({ea}) vs xla {mb}({eb}): pull {pull}'
+
+
+@requires_tpu
+def test_fused_hammer_kernel_statistics():
+    """The in-kernel Hammer (sweeps + worms in one launch) agrees statistically
+    with the XLA Sequentially(NeighborhoodUpdate, ClassicWorm) composition, and
+    the worm section preserves validity and produces a normalizable
+    Vortex_Vortex histogram."""
+    from supervillain_tpu.ops.pallas_hammer import hammer_sweeps
+    from supervillain_tpu.generators import villain as gv
+    from supervillain_tpu.generators import Sequentially
+    N, B = 128, 48
+    kappa, p_n, iphi = 0.5, 0.05, 0.7
+    L = sv.Lattice2D(N)
+    S = sv.Villain(L, kappa, W=1)
+
+    phi = jnp.zeros((B, 1, N, N), jnp.float32)
+    n = jnp.zeros((B, 2, N, N), jnp.int32)
+    phi, n, _, _ = hammer_sweeps(jnp.int32(11), phi, n, N=N, kappa=kappa, W=1,
+                                 interval_phi=iphi, interval_n=1, sweeps=600,
+                                 worms=1, p_n=p_n)
+    phi, n, acc, inline = hammer_sweeps(jnp.int32(12), phi, n, N=N, kappa=kappa,
+                                        W=1, interval_phi=iphi, interval_n=1,
+                                        sweeps=100, worms=1, p_n=p_n)
+    for b in range(0, B, 12):
+        assert S.valid({'n': np.asarray(n[b])})
+    assert float(inline['Worm_Length'].mean()) > 0
+    assert float(inline['Vortex_Vortex'].sum()) == float(inline['Worm_Length'].sum())
+    pallas_S = np.asarray(_villain_density(S)(phi, n))
+
+    G = Sequentially((gv.NeighborhoodUpdate(S, interval_phi=iphi, p_n=p_n),
+                      gv.ClassicWorm(S)))
+    def one(k, c, s):
+        c, s, _ = G.step(k, c, s)
+        return c, s
+    cfgs = {'phi': jnp.zeros((B, 1, N, N), jnp.float32),
+            'n': jnp.zeros((B, 2, N, N), jnp.int32)}
+    stats = jax.tree.map(lambda x: jnp.broadcast_to(x, (B,) + x.shape).astype(jnp.float32),
+                         G.init_stats())
+    @jax.jit
+    def steps(key, cfgs, stats):
+        def body(carry, k):
+            cfgs, stats = carry
+            keys = jax.vmap(lambda i: jax.random.fold_in(k, i))(jnp.arange(B))
+            return jax.vmap(one)(keys, cfgs, stats), None
+        (cfgs, stats), _ = jax.lax.scan(body, (cfgs, stats), jax.random.split(key, 700))
+        return cfgs, stats
+    cfgs, stats = steps(jax.random.key(3), cfgs, stats)
+    xla_S = np.asarray(_villain_density(S)(cfgs['phi'], cfgs['n']))
+
+    ma, ea = pallas_S.mean(), pallas_S.std() / np.sqrt(B)
+    mb, eb = xla_S.mean(), xla_S.std() / np.sqrt(B)
+    pull = abs(ma - mb) / np.hypot(ea, eb)
+    assert pull < 5, f'pallas {ma}({ea}) vs xla {mb}({eb}): pull {pull}'
+
+
+@requires_tpu
+def test_sample_fused_fleet_with_worms():
+    """sample_fused_fleet(worms=1) drives the fused Hammer kernel: worm columns
+    appear and the Vortex_Vortex correlator normalizes at the origin to the
+    worm-visit density."""
+    from supervillain_tpu.parallel import sample_fused_fleet
+    S = sv.Villain(sv.Lattice2D(128), 0.5, W=1)
+    fleet = sample_fused_fleet(S, chains=16, steps=3, thin=20, seed=5,
+                               interval_phi=0.7, p_n=0.05, worms=2,
+                               keep_fields=True)
+    assert fleet.columns['Vortex_Vortex'].shape == (3, 16, 128, 128)
+    assert fleet.columns['Worm_Length'].shape == (3, 16)
+    assert (fleet.columns['Worm_Length'] >= 0).all()
+    for c in range(0, 16, 5):
+        assert S.valid({'n': fleet.columns['n'][-1, c]})
