@@ -44,12 +44,11 @@ class _MetadataAction(argparse.Action):
         parser.exit()
 
 
+from . import log as log  # noqa: E402  (submodule; reference-compatible name)
+
+
 def _log_parent():
-    parent = argparse.ArgumentParser(add_help=False)
-    parent.add_argument('--log-level', default='WARNING',
-                        choices=['DEBUG', 'INFO', 'WARNING', 'ERROR', 'CRITICAL'])
-    parent.add_argument('--log-format', default='%(asctime)s %(name)s %(levelname)10s %(message)s')
-    return parent
+    return log.defaults()
 
 
 def _metadata_parent():
@@ -73,6 +72,6 @@ class ArgumentParser(argparse.ArgumentParser):
     def parse_args(self, *args, **kwargs):
         parsed = super().parse_args(*args, **kwargs)
         if hasattr(parsed, 'log_level'):
-            logging.basicConfig(level=getattr(logging, parsed.log_level),
-                                format=parsed.log_format, stream=sys.stdout)
+            log.configure(level=parsed.log_level, fmt=parsed.log_format,
+                          stream=sys.stdout)
         return parsed

@@ -62,3 +62,33 @@ def test_main_banner():
         capture_output=True, text=True, timeout=120)
     assert out.returncode == 0
     assert sv.meta.version in out.stdout
+
+
+def test_log_format_presets(capsys):
+    """--log-format accepts named presets (plain/timed/json/...) in addition to
+    raw %-style strings (richer than the reference's single format string)."""
+    import json as _json
+    import logging
+    from supervillain_tpu.cli import log
+
+    for preset in log.FORMATS:
+        f = log.formatter(preset)
+        assert isinstance(f, logging.Formatter)
+
+    rec = logging.LogRecord('test', logging.INFO, __file__, 1, 'hello %s', ('x',), None)
+    assert log.formatter('plain').format(rec) == 'INFO: hello x'
+    payload = _json.loads(log.formatter('json').format(rec))
+    assert payload['message'] == 'hello x' and payload['level'] == 'INFO'
+    # Raw format strings still work.
+    assert log.formatter('%(levelname)s|%(message)s').format(rec) == 'INFO|hello x'
+
+
+def test_argument_parser_configures_named_format():
+    import logging
+    import supervillain_tpu as sv
+    p = sv.cli.ArgumentParser(description='t')
+    p.parse_args(['--log-level', 'INFO', '--log-format', 'plain'])
+    root = logging.getLogger()
+    assert root.level == logging.INFO
+    assert any('%(levelname)s: %(message)s' == getattr(h.formatter, '_fmt', None)
+               for h in root.handlers)
