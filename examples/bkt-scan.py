@@ -125,7 +125,13 @@ def main():
                 kappa=kappa, W=W, interval_phi=0.7, interval_n=1,
                 p_n=args.p_n, sweeps=sweeps)
 
-        phi, n, acc, _ = launch(phi, n, args.therm_sweeps)
+        # Chunk thermalization into bounded launches (a single launch of ~1e5
+        # sweeps would run for minutes; chunks keep each launch O(10s)).
+        remaining = args.therm_sweeps
+        while remaining > 0:
+            chunk = min(remaining, 4096)
+            phi, n, acc, _ = launch(phi, n, chunk)
+            remaining -= chunk
 
         S_col = np.empty((args.records, B))
         W2_col = np.empty((args.records, B))
@@ -140,13 +146,14 @@ def main():
             chi_col[r] = corr.sum(axis=(1, 2)) / corr[:, 0, 0]
         acc_frac = accepted / (B * N * N * args.thin * args.records)
 
-        # Pool chains (independent by construction) into one ensemble of
-        # record-level draws and bootstrap.
+        # Bootstrap over per-chain means: chains are independent by
+        # construction, while records within one chain stay correlated whenever
+        # thin < τ — pooling them would understate the errors.
         S_action = sv.Villain(L, kappa, W)
         e = Ensemble(S_action).from_configurations(Configurations({
-            'ActionDensity': S_col.reshape(-1),
-            'WindingSquared': W2_col.reshape(-1),
-            'SpinSusceptibility': chi_col.reshape(-1),
+            'ActionDensity': S_col.mean(axis=0),
+            'WindingSquared': W2_col.mean(axis=0),
+            'SpinSusceptibility': chi_col.mean(axis=0),
         }))
         b = Bootstrap(e, draws=args.bootstraps)
         mS, eS = b.estimate('ActionDensity')

@@ -1,0 +1,55 @@
+"""Finite-size-scaling helpers for the generalized-BKT analysis.
+
+The reference frames its physics target as generalized BKT transitions with
+critical scaling dimensions Δ_spin = W²/8 and Δ_vortex = 2/W²
+(/root/reference/supervillain/observable/spin.py:223-239, vortex.py:40-57) but
+ships no finite-size-scaling utilities; these are the standard manipulations
+used by `examples/bkt-scan.py` and the validation record.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def scaled_susceptibility(chi, L, Delta, D=2):
+    """χ / L^(D−2Δ): size-independent at the critical coupling (up to the BKT
+    logarithmic corrections), decreasing with L in the disordered phase,
+    increasing with L inside the critical phase (where η(κ) < 2Δ)."""
+    return np.asarray(chi) / L ** (D - 2 * Delta)
+
+
+def effective_exponent(L1, chi1, L2, chi2):
+    """The two-volume effective correlator power: χ ~ L^(2−η_eff) gives
+
+        2 − η_eff = ln(χ₂/χ₁) / ln(L₂/L₁)
+
+    Returns (two_minus_eta, eta_eff).  At a BKT transition η_eff → 2Δ from
+    below as L → ∞ (with slow log corrections); deep in the critical phase
+    η_eff ≈ 1/(2πκ_R)."""
+    two_minus_eta = float(np.log(chi2 / chi1) / np.log(L2 / L1))
+    return two_minus_eta, 2.0 - two_minus_eta
+
+
+def effective_exponent_error(L1, chi1, e1, L2, chi2, e2):
+    """Propagated 1σ error of η_eff from independent χ errors."""
+    rel = np.hypot(e1 / chi1, e2 / chi2)
+    return float(rel / abs(np.log(L2 / L1)))
+
+
+def crossing_estimate(kappas, scaled_by_L):
+    """Crude critical-coupling estimate: the κ where the scaled susceptibility
+    of the two largest volumes crosses (linear interpolation of their
+    difference).  ``scaled_by_L``: {L: array over kappas}.  Returns None when
+    the curves do not cross inside the scanned window."""
+    Ls = sorted(scaled_by_L)
+    a = np.asarray(scaled_by_L[Ls[-2]], dtype=float)
+    b = np.asarray(scaled_by_L[Ls[-1]], dtype=float)
+    diff = b - a
+    sign = np.sign(diff)
+    for i in range(len(kappas) - 1):
+        if sign[i] != sign[i + 1] and sign[i] != 0:
+            k0, k1 = kappas[i], kappas[i + 1]
+            d0, d1 = diff[i], diff[i + 1]
+            return float(k0 + (k1 - k0) * (-d0) / (d1 - d0))
+    return None

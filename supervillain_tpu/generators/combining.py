@@ -16,6 +16,14 @@ class Sequentially(Generator):
 
     def __init__(self, generators):
         self.generators = tuple(generators)
+        for g in self.generators:
+            if g.name not in g.init_stats():
+                raise ValueError(
+                    f'{type(g).__name__} keeps stats under tags '
+                    f'{sorted(g.init_stats())}, not under its own name — it is '
+                    'a self-contained composite; compose around it with '
+                    'successive Ensemble.generate segments instead of '
+                    'Sequentially.')
         # De-duplicate stats tags while keeping report order stable.
         seen = {}
         self._tags = []

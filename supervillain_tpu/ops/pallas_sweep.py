@@ -302,6 +302,9 @@ def _make_strip_kernel(N, Rb, kappa, W, interval_phi, interval_n, sweeps, p_n=No
                 bwd1 = (W * draw()) * _rx(imask, -1)
                 cn0 = fwd0 + bwd0
                 cn1 = fwd1 + bwd1
+            # NOTE: the monolithic kernel's roll(a·b)=roll(a)·roll(b) reuse was
+            # tried here and measured ~6% SLOWER (extra live (Rb+2, N) arrays
+            # raise register pressure in the strip pass); keep the recompute.
             cr0 = (up(dphi) - dphi) - TWO_PI * cn0.astype(jnp.float32)
             cr1 = (_rx(dphi, -1) - dphi) - TWO_PI * cn1.astype(jnp.float32)
             t0 = (kappa / 2) * cr0 * (2.0 * r0 + cr0)

@@ -151,3 +151,30 @@ def test_continue_from(ensemble):
     assert e2.index[0] == ensemble.index[-1] + ensemble.index_stride
     for i in range(20):
         assert ensemble.Action.valid({'n': e2.n[i]})
+
+
+def test_finite_size_scaling_helpers():
+    from supervillain_tpu.analysis.scaling import (
+        scaled_susceptibility, effective_exponent, effective_exponent_error,
+        crossing_estimate)
+    # chi ~ L^(2-eta) exactly -> effective exponent recovers eta.
+    eta = 0.25
+    chi = lambda L: 3.0 * L ** (2 - eta)
+    two_minus, eta_eff = effective_exponent(64, chi(64), 256, chi(256))
+    assert np.isclose(eta_eff, eta)
+    assert np.isclose(two_minus, 2 - eta)
+    # Scaled susceptibility at Delta = eta/2 is L-independent for that chi.
+    s1 = scaled_susceptibility(chi(64), 64, Delta=eta / 2)
+    s2 = scaled_susceptibility(chi(256), 256, Delta=eta / 2)
+    assert np.isclose(s1, s2)
+    # Error propagation: symmetric in the two points, shrinks with separation.
+    e_small = effective_exponent_error(64, 100.0, 1.0, 256, 200.0, 2.0)
+    e_big = effective_exponent_error(64, 100.0, 1.0, 128, 150.0, 1.5)
+    assert e_small < e_big
+    # Crossing: two volumes whose scaled curves cross between kappa 2 and 3.
+    kappas = [1.0, 2.0, 3.0, 4.0]
+    scaled = {128: np.array([1.0, 1.1, 1.2, 1.3]),
+              256: np.array([0.8, 1.0, 1.25, 1.5])}
+    k = crossing_estimate(kappas, scaled)
+    assert 2.0 < k < 3.0
+    assert crossing_estimate(kappas, {128: np.ones(4), 256: 2 * np.ones(4)}) is None

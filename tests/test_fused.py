@@ -109,3 +109,14 @@ def test_fused_hammer_rejects_w_inf():
     S = sv.Villain(sv.Lattice2D(4), 0.5, W=float('inf'))
     with pytest.raises(ValueError):
         FusedHammer(S)
+
+
+def test_fused_hammer_not_sequentially_composable():
+    """FusedHammer keeps stats under two tags (its sweep and worm sections); a
+    cryptic KeyError inside Sequentially is turned into a clear error."""
+    from supervillain_tpu.generators.villain_fused import FusedHammer
+    from supervillain_tpu.generators.combining import Sequentially
+    from supervillain_tpu.generators import villain as gv
+    S = sv.Villain(sv.Lattice2D(4), 0.5, W=1)
+    with pytest.raises(ValueError, match='self-contained composite'):
+        Sequentially([FusedHammer(S), gv.CohomologyUpdate(S)])

@@ -59,10 +59,12 @@ def test_generator_spec_roundtrip_every_generator():
     """``generator_spec(generator_from_spec(spec)) == spec`` for every generator,
     including the transition-kernel parameters that shape the proposal
     (p_n, sweeps_per_step): continuing from H5 must reproduce the same kernel."""
-    from supervillain_tpu.generators.villain_fused import FusedNeighborhoodUpdate
+    from supervillain_tpu.generators.villain_fused import (
+        FusedNeighborhoodUpdate, FusedExactNeighborhoodUpdate, FusedHammer)
     from supervillain_tpu.generators.worldline_fused import FusedWorldlineUpdate
     from supervillain_tpu.generators.base import DoNothing
     SV = sv.Villain(sv.Lattice2D(4), 0.5, W=2)
+    SVI = sv.Villain(sv.Lattice2D(4), 0.5, W=float('inf'))
     SW = sv.Worldline(sv.Lattice2D(4), 0.5, W=2)
     generators = [
         gv.SiteUpdate(SV, interval_phi=1.25),
@@ -70,7 +72,13 @@ def test_generator_spec_roundtrip_every_generator():
         gv.ExactUpdate(SV, interval_z=3),
         gv.CohomologyUpdate(SV, interval_h=2),
         gv.NeighborhoodUpdate(SV, interval_phi=2.5, interval_n=2, p_n=0.0625),
+        gv.ExactNeighborhoodUpdate(SVI, interval_phi=1.5, interval_z=2, p_z=0.125),
         gv.ClassicWorm(SV),
+        gv.ClassicWorm(SV, max_moves=64),
+        FusedExactNeighborhoodUpdate(SVI, interval_phi=1.0, interval_z=2,
+                                     sweeps_per_step=3, p_z=0.25),
+        FusedHammer(sv.Villain(sv.Lattice2D(4), 0.5, W=1), interval_phi=1.0,
+                    sweeps_per_step=2, worms=3, p_n=0.5),
         gw.VortexUpdate(SW, interval_v=2),
         gw.CoexactUpdate(SW, interval_t=2),
         gw.WrappingUpdate(SW, interval_w=2),
@@ -303,3 +311,38 @@ def test_blocking_h5_roundtrip(tmp_h5):
     # Observables still forward through the reloaded inner ensemble.
     assert np.allclose(np.asarray(b2.InternalEnergyDensity),
                        np.asarray(b.InternalEnergyDensity))
+
+
+class _Measurement(sv.h5.ReadWriteable):
+    """User-defined ReadWriteable: auto-registered, nests in generic payloads."""
+
+    def __init__(self, label, values):
+        self.label = label
+        self.values = values
+
+
+def test_readwriteable_mixin_user_class(tmp_h5):
+    from supervillain_tpu.io import write, read
+    m = _Measurement('chi', np.arange(4.0))
+    write(tmp_h5, 'nested', {'runs': [m, _Measurement('w2', np.zeros(2))]})
+    got = read(tmp_h5['nested'])
+    assert isinstance(got['runs'][0], _Measurement)
+    assert got['runs'][0].label == 'chi'
+    assert (got['runs'][0].values == np.arange(4.0)).all()
+    assert got['runs'][1].label == 'w2'
+
+
+def test_generic_store_edge_cases(tmp_h5):
+    from supervillain_tpu.io import write, read
+    write(tmp_h5, 'empty_dict', {})
+    write(tmp_h5, 'empty_list', [])
+    write(tmp_h5, 'empty_tuple', ())
+    write(tmp_h5, 'empty_str', '')
+    write(tmp_h5, 'zero_d', np.float64(2.5))
+    write(tmp_h5, 'big_int', 2 ** 40)
+    assert read(tmp_h5['empty_dict']) == {}
+    assert read(tmp_h5['empty_list']) == []
+    assert read(tmp_h5['empty_tuple']) == ()
+    assert read(tmp_h5['empty_str']) == ''
+    assert read(tmp_h5['zero_d']) == 2.5
+    assert read(tmp_h5['big_int']) == 2 ** 40
