@@ -44,7 +44,9 @@ print(f'{"kappa":>8s} {"ActionDensity":>16s} {"WindingSquared":>18s} {"acc(site)
 results = {}
 for kappa in args.kappas:
     S = sv.Villain(L, kappa, W=args.W)
-    G = gvillain.Hammer(S)
+    # fleet=True composes bounded worms (ChunkedWorm at W=1, max_moves-capped
+    # ClassicWorm at W>1) so no step waits on the slowest chain's worm.
+    G = gvillain.Hammer(S, fleet=True)
     fleet = sample_fleet(S, G, chains=args.chains, steps=args.steps, thin=args.thin,
                          seed=int(kappa * 1000), mesh=mesh)
     pooled = fleet.pooled_ensemble(cut=args.cut)
