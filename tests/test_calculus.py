@@ -251,7 +251,7 @@ def test_lattice_hashable_and_equal():
     assert Lattice(2, 5) != Lattice(3, 5)
 
 
-@pytest.mark.parametrize('D,N', [(2, 4), (2, 5), (3, 3)])
+@pytest.mark.parametrize('D,N', [(2, 4), (2, 5), (2, 8), (3, 3), (3, 4), (4, 3)])
 def test_sparse_operators_match_dense(D, N, rng):
     """delta_sparse/d_sparse/coface_sum_at/face_sum_at equal the dense operators
     applied to the equivalent sparse form (the reference's bit-exact guarantee)."""

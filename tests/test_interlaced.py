@@ -13,7 +13,7 @@ from supervillain_tpu.ops.interlaced import (
     interlaced_pull, interlaced_star, interlaced_wedge,
 )
 
-GEOMETRIES = [(2, 3), (2, 4), (3, 3), (4, 3)]
+GEOMETRIES = [(2, 3), (2, 4), (2, 5), (3, 3), (3, 4), (4, 3), (5, 3)]
 
 
 def random_form(rng, L, p):
@@ -71,7 +71,7 @@ def test_interlaced_adjointness(D, N, rng):
     assert np.isclose(lhs, rhs, atol=1e-9)
 
 
-@pytest.mark.parametrize('D,N', [(2, 3), (3, 3)])
+@pytest.mark.parametrize('D,N', [(2, 3), (2, 5), (3, 3), (3, 4), (4, 3)])
 def test_push_matches_interlaced(D, N, rng):
     L = Lattice(D, N)
     f = random_form(rng, L, 1)
