@@ -134,7 +134,7 @@ def write(group, name, value):
         ds.attrs['strategy'] = 'scalar'
         return ds
 
-    if isinstance(value, np.ndarray):
+    if isinstance(value, np.ndarray) and value.dtype != object:
         ds = group.create_dataset(name, data=value)
         ds.attrs['strategy'] = 'array'
         return ds

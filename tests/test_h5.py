@@ -346,3 +346,13 @@ def test_generic_store_edge_cases(tmp_h5):
     assert read(tmp_h5['empty_str']) == ''
     assert read(tmp_h5['zero_d']) == 2.5
     assert read(tmp_h5['big_int']) == 2 ** 40
+
+
+def test_object_dtype_array_falls_back_to_pickle(tmp_h5):
+    from supervillain_tpu.io import write, read
+    arr = np.empty(2, dtype=object)
+    arr[0] = {'a': 1}
+    arr[1] = [1, 2]
+    write(tmp_h5, 'obj', arr)
+    got = read(tmp_h5['obj'])
+    assert got[0] == {'a': 1} and got[1] == [1, 2]
