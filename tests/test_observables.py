@@ -346,3 +346,79 @@ def test_topological_observables_registered():
         assert name in registry
     from supervillain_tpu import derivedQuantities
     assert 'Topological_Topological' in derivedQuantities
+
+
+# ---------------------------------------------------------------------------
+# D=3 observable battery (the reference checks orientation-averaging and the
+# winding identities beyond D=2; its villain taxicab observables stay D=2-only
+# while the correlation-based implementations here are dimension-general).
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope='module')
+def worldline3d():
+    S = sv.Worldline(sv.Lattice(3, 4), 0.5, W=2)
+    return sv.Ensemble(S).generate(8, gw.Hammer(S), seed=33).cut(2)
+
+
+@pytest.fixture(scope='module')
+def villain3d():
+    S = sv.Villain(sv.Lattice(3, 4), 0.5, W=2)
+    from supervillain_tpu.generators.combining import Sequentially
+    G = Sequentially((gv.SiteUpdate(S), gv.LinkUpdate(S), gv.ExactUpdate(S),
+                      gv.CohomologyUpdate(S)))
+    return sv.Ensemble(S).generate(8, G, seed=34).cut(2)
+
+
+def test_vortex_vortex_3d_orientation_averaged(worldline3d):
+    e = worldline3d
+    vv = measure_without_inline(e, 'Vortex_Vortex')
+    assert vv.shape == (len(e), 4, 4, 4)
+    origin = (slice(None), 0, 0, 0)
+    assert np.allclose(np.asarray(vv[origin]).real, 1.0, atol=1e-6)
+    # C(−Δx) = conj(C(Δx)) for a self-correlation, so the real part is exactly
+    # symmetric under the full periodic point reflection Δx → −Δx.
+    arr = np.asarray(vv).real
+    flipped = arr
+    for ax in range(1, 4):
+        flipped = np.roll(np.flip(flipped, axis=ax), 1, axis=ax)
+    assert np.allclose(arr, flipped, atol=1e-8)
+
+
+def test_spin_spin_3d_villain(villain3d):
+    e = villain3d
+    ss = measure_without_inline(e, 'Spin_Spin')
+    assert ss.shape == (len(e), 4, 4, 4)
+    assert np.allclose(np.asarray(ss[(slice(None), 0, 0, 0)]).real, 1.0, atol=1e-6)
+
+
+def test_winding_identities_3d(worldline3d, villain3d):
+    for e in (worldline3d, villain3d):
+        ww = measure_without_inline(e, 'Winding_Winding')
+        ws = measure_without_inline(e, 'WindingSquared')
+        origin = (slice(None),) + (0,) * 3
+        assert np.allclose(np.asarray(ww[origin]).real, np.asarray(ws), atol=1e-8)
+
+
+def test_torus_wrapping_3d(villain3d):
+    tw = measure_without_inline(villain3d, 'TorusWrapping')
+    assert tw.shape == (len(villain3d), 3)
+    ws = measure_without_inline(villain3d, 'WrappingSquared')
+    assert np.allclose(np.asarray(ws), (np.asarray(tw, dtype=float) ** 2).sum(axis=1))
+
+
+def test_worldline_worm_3d_validity():
+    """The worldline worm is dimension-general (reference worldline/worm.py):
+    a D=3 worm-only chain preserves δm = 0 on every emitted configuration."""
+    S = sv.Worldline(sv.Lattice(3, 3), 0.5, W=1)
+    e = sv.Ensemble(S).generate(10, gw.ClassicWorm(S, max_moves=200), seed=35)
+    for i in range(10):
+        assert S.valid({'m': e.m[i]})
+    assert 'Spin_Spin' in e.configuration.fields  # inline D=3 histogram
+
+
+def test_villain_worm_3d_raises():
+    S = sv.Villain(sv.Lattice(3, 3), 0.5, W=1)
+    with pytest.raises(NotImplementedError):
+        gv.ClassicWorm(S)
+    with pytest.raises(NotImplementedError):
+        gv.ChunkedWorm(S)
