@@ -250,7 +250,9 @@ class Ensemble:
         if every:
             return auto
         if not auto:
-            tau = int(np.ceil(len(self) / 2))
+            # Floor at 1 so downstream cut/every never receive a zero stride
+            # (an over-cut chain can be empty here).
+            tau = max(1, int(np.ceil(len(self) / 2)))
             logger.warning('No observable fluctuated enough to estimate an '
                            f'autocorrelation time; falling back to τ = {tau}.')
             return tau
@@ -278,6 +280,9 @@ class Ensemble:
         """Keep every ``stride``-th configuration (decorrelation); the generator is
         wrapped in KeepEvery so continuation stays strided."""
         from .generators import KeepEvery
+        stride = int(stride)
+        if stride < 1:
+            raise ValueError(f'every() needs a stride >= 1, got {stride}.')
         e = Ensemble(self.Action).from_configurations(self.configuration[::stride])
         e.index = self.index[::stride]
         e.index_stride = self.index_stride * stride

@@ -99,3 +99,19 @@ def test_configurations_string_and_slice_indexing():
     assert (c['phi'] == c.phi).all()           # dict-style column access
     assert set(c[0]) == {'phi', 'n'}           # integer -> one configuration dict
     assert len(c[1:]) == 2                     # slice -> Configurations
+
+
+def test_autocorrelation_time_floor_and_every_guard():
+    """An over-cut (even empty) chain falls back to tau = 1, never 0, and
+    every() rejects stride < 1 loudly (regression: a 40-configuration
+    algorithm-comparison run cut everything and crashed on slice step 0)."""
+    import pytest
+    import supervillain_tpu as sv
+    from supervillain_tpu.generators import villain as gv
+    S = sv.Villain(sv.Lattice2D(4), 0.5, W=1)
+    e = sv.Ensemble(S).generate(6, gv.SiteUpdate(S), seed=2)
+    empty = e.cut(6)
+    assert len(empty) == 0
+    assert empty.autocorrelation_time(('ActionDensity',)) == 1
+    with pytest.raises(ValueError, match='stride'):
+        e.every(0)
