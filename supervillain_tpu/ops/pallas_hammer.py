@@ -32,7 +32,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .pallas_sweep import _uniform, _int_in, _int_sparse, _roll
+from .pallas_sweep import _uniform, _int_in, _int_sparse, _roll, _exp_neg
 
 TWO_PI = np.float32(2 * np.pi)
 _GOLD = np.int32(2654435761 & 0x7FFFFFFF)
@@ -109,7 +109,7 @@ def _make_hammer_kernel(N, kappa, W, interval_phi, interval_n, sweeps, worms,
             t1 = (kappa / 2) * cr1 * (2.0 * r1 + cr1)
             dS = t0 + t1 + _rt(t0, 1) + _rx(t1, 1)
 
-            accept = jnp.where(_uniform(shape) < jnp.exp(-dS), 1, 0) * imask
+            accept = jnp.where(_uniform(shape) < _exp_neg(dS), 1, 0) * imask
             facc = accept.astype(jnp.float32)
             acc_t = _rt(accept, -1)
             acc_x = _rx(accept, -1)
@@ -213,7 +213,7 @@ def _make_hammer_kernel(N, kappa, W, interval_phi, interval_n, sweeps, worms,
                                      load1(r1_s, lt, lx))
                 dnf = dn.astype(jnp.float32)
                 dS = (kappa / 2) * (-TWO_PI * dnf) * (2.0 * link_val - TWO_PI * dnf)
-                accept = (u_acc < jnp.exp(-dS)) & ~close_now
+                accept = (u_acc < _exp_neg(dS)) & ~close_now
 
                 @pl.when(accept & (ld == 0))
                 def _():

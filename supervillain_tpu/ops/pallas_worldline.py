@@ -28,7 +28,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .pallas_sweep import _uniform, _int_in, _roll
+from .pallas_sweep import _uniform, _int_in, _roll, _exp_neg
 
 
 def _int_nonzero(shape, interval):
@@ -94,7 +94,7 @@ def _make_kernel(N, kappa, W, interval_v, interval_t, interval_w, sweeps):
             t0 = inv2k * (-c0f) * (2.0 * l0 - c0f)
             t1 = inv2k * (-c1f) * (2.0 * l1 - c1f)
             dS = _coface(t0, t1)
-            accept = jnp.where(_uniform((N, N)) < jnp.exp(-dS), 1, 0) * imask
+            accept = jnp.where(_uniform((N, N)) < _exp_neg(dS), 1, 0) * imask
             applied = dvv * accept
             a0, a1 = _delta2(applied)
             v = v + applied
@@ -112,7 +112,7 @@ def _make_kernel(N, kappa, W, interval_v, interval_t, interval_w, sweeps):
             t0 = inv2k * c0.astype(jnp.float32) * (2.0 * l0 + c0.astype(jnp.float32))
             t1 = inv2k * c1.astype(jnp.float32) * (2.0 * l1 + c1.astype(jnp.float32))
             dS = _coface(t0, t1)
-            accept = jnp.where(_uniform((N, N)) < jnp.exp(-dS), 1, 0) * imask
+            accept = jnp.where(_uniform((N, N)) < _exp_neg(dS), 1, 0) * imask
             applied = t * accept
             a0, a1 = _delta2(applied)
             m0 = m0 + a0
@@ -127,13 +127,13 @@ def _make_kernel(N, kappa, W, interval_v, interval_t, interval_w, sweeps):
             c0 = jnp.broadcast_to(_int_nonzero((1, N), interval_w), (N, N))
             dS0 = jnp.sum(inv2k * c0.astype(jnp.float32) * (2.0 * l0 + c0.astype(jnp.float32)),
                           axis=0, keepdims=True)
-            acc0 = jnp.where(_uniform((1, N)) < jnp.exp(-dS0), 1, 0)
+            acc0 = jnp.where(_uniform((1, N)) < _exp_neg(dS0), 1, 0)
             m0 = m0 + c0 * jnp.broadcast_to(acc0, (N, N))
             # mu = 1: one proposal per row (constant along axis 1).
             c1 = jnp.broadcast_to(_int_nonzero((N, 1), interval_w), (N, N))
             dS1 = jnp.sum(inv2k * c1.astype(jnp.float32) * (2.0 * l1 + c1.astype(jnp.float32)),
                           axis=1, keepdims=True)
-            acc1 = jnp.where(_uniform((N, 1)) < jnp.exp(-dS1), 1, 0)
+            acc1 = jnp.where(_uniform((N, 1)) < _exp_neg(dS1), 1, 0)
             m1 = m1 + c1 * jnp.broadcast_to(acc1, (N, N))
             acc = acc + jnp.sum(acc0.astype(jnp.float32)) + jnp.sum(acc1.astype(jnp.float32))
             return m0, m1, v, dv0, dv1, acc
@@ -240,7 +240,7 @@ def _make_strip_kernel(N, Rb, kappa, W, interval_v, interval_t, interval_w, swee
                 t0 = inv2k * c0f * (2.0 * l0 + c0f)
                 t1 = inv2k * c1f * (2.0 * l1 + c1f)
             dS = t0 + _rxn(t0, -1) + t1 + up(t1)
-            accept = jnp.where(_uniform(pad) < jnp.exp(-dS), 1, 0) * imask
+            accept = jnp.where(_uniform(pad) < _exp_neg(dS), 1, 0) * imask
             applied = prop * accept
             a0 = applied - _rxn(applied, 1)
             a1 = -applied + dn(applied)
@@ -271,7 +271,7 @@ def _make_strip_kernel(N, Rb, kappa, W, interval_v, interval_t, interval_w, swee
                 return dS + jnp.sum(inv2k * c0f * (2.0 * l0 + c0f), axis=0,
                                     keepdims=True)
             dS0 = jax.lax.fori_loop(0, S, acc0, jnp.zeros((1, N), jnp.float32))
-            a0 = jnp.where(_uniform((1, N)) < jnp.exp(-dS0), 1, 0)
+            a0 = jnp.where(_uniform((1, N)) < _exp_neg(dS0), 1, 0)
             shift0 = c0 * a0
 
             def apply0(s, _):
@@ -290,7 +290,7 @@ def _make_strip_kernel(N, Rb, kappa, W, interval_v, interval_t, interval_w, swee
                 l1 = m_out[0, 1, pl.ds(row0, Rb), :].astype(jnp.float32) \
                     - dv1_s[pl.ds(row0, Rb), :] / fW
                 dS1 = jnp.sum(inv2k * c1f * (2.0 * l1 + c1f), axis=1, keepdims=True)
-                a1 = jnp.where(_uniform((Rb, 1)) < jnp.exp(-dS1), 1, 0)
+                a1 = jnp.where(_uniform((Rb, 1)) < _exp_neg(dS1), 1, 0)
                 m_out[0, 1, pl.ds(row0, Rb), :] = \
                     m_out[0, 1, pl.ds(row0, Rb), :] + c1b * jnp.broadcast_to(a1, (Rb, N))
                 return acc + jnp.sum(a1.astype(jnp.float32))

@@ -34,6 +34,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .pallas_sweep import _exp_neg
+
 TWO_PI = np.float32(2 * np.pi)
 _GOLD = np.int32(2654435761 & 0x7FFFFFFF)
 
@@ -139,7 +141,7 @@ def _make_worm_kernel(N, NP, kappa, W, worms):
                 link_val = jnp.where(ld == 0, load1(r0_s, lt, lx), load1(r1_s, lt, lx))
                 dnf = dn.astype(jnp.float32)
                 dS = (kappa / 2) * (-TWO_PI * dnf) * (2.0 * link_val - TWO_PI * dnf)
-                accept = (u_acc < jnp.exp(-dS)) & ~close_now
+                accept = (u_acc < _exp_neg(dS)) & ~close_now
 
                 @pl.when(accept & (ld == 0))
                 def _():
