@@ -1,5 +1,5 @@
-version = '0.1.0'
-nickname = 'mesa'
+version = '0.3.0'
+nickname = 'butte'
 
 author = 'supervillain-tpu developers'
 description = (
