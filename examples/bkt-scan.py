@@ -57,11 +57,14 @@ def main():
                     help='zero-inflated Δn proposal probability (mixing at scale)')
     ap.add_argument('--bootstraps', type=int, default=100)
     ap.add_argument('--h5', type=str, default=None, help='write per-κ results here')
+    ap.add_argument('--W', type=int, default=1,
+                    help='finite vortex constraint; Δ = W²/8 scales the '
+                         'susceptibility, Δn proposals come in multiples of W')
     args = ap.parse_args()
 
     N, B = args.L, args.chains
     L = sv.Lattice2D(N)
-    W = 1
+    W = args.W
     Delta = W ** 2 / 8
     scale = N ** (L.D - 2 * Delta)
 
@@ -108,7 +111,8 @@ def main():
         corr = jax.vmap(lambda s: L.correlation(s, s))(spin)
         return corr.real  # complex arrays cannot cross the device boundary here
 
-    print(f'# L={N} chains={B} W={W} Δ={Delta}  (κ_c ≈ 0.74 expected)')
+    expect = '  (κ_c ≈ 0.74 expected)' if W == 1 else ''
+    print(f'# L={N} chains={B} W={W} Δ={Delta}{expect}')
     print(f'{"κ":>6} {"acc":>6} {"ActionDensity":>16} {"WindingSq":>14} '
           f'{"χ_S":>14} {"χ_S/L^(D-2Δ)":>14}')
 
