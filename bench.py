@@ -15,9 +15,16 @@ of the same checkerboarded sweep — the reference's execution model (NumPy arra
 ops per color; /root/reference/supervillain/generator/villain/neighborhood.py:59-137)
 — measured in the same process on this host's CPU.
 
-Roofline context (see VALIDATION.md for the derivation): the fused kernel does
-~196 VPU element-ops per site-update and, at 50 sweeps/launch, ~0.5 B/su of HBM
-traffic — per-chip throughput is VPU-compute-bound, not HBM-bound, by design.
+Roofline context (see VALIDATION.md §roofline for the stage-by-stage
+derivation): the fused Villain kernel executes 224 source-level VPU vector ops
+per site-update (convention: every elementwise op/convert/select/compare/roll
+= 1, a PRNG draw = 4, e^x via exp2 = 2, reductions = 1/element; no FMA credit
+— Mosaic fuses some multiply-add pairs into single slots, so the derived
+"fraction of ALU peak" is an upper bound on true slot occupancy).  At 50
+sweeps/launch HBM traffic is ~0.5 B/su — per-chip throughput is VPU-bound,
+not HBM-bound, by design.  The Worldline local-update stack (2 vortex + 2
+coexact color passes + wrapping per sweep) executes ~268 ops per site-sweep
+under the same convention.
 """
 
 from __future__ import annotations
@@ -29,7 +36,8 @@ import time
 
 import numpy as np
 
-OPS_PER_SITE_UPDATE = 196          # VPU element-ops per su (kernel op count)
+OPS_PER_SITE_UPDATE = 224          # Villain kernel: source-level vector ops/su
+OPS_PER_WL_SITE_UPDATE = 268       # Worldline stack: ops per site per sweep
 V5E_VPU_PEAK = 8 * 128 * 4 * 0.94e9  # lanes × sublanes × ALUs × clock [op/s]
 V5E_HBM_BW = 8.1e11                # B/s
 
@@ -98,6 +106,68 @@ def _fused_rate(jnp, fn, L, B, sweeps, reps, kappa, cpp=1):
     return reps * B * L * L * sweeps / elapsed, elapsed
 
 
+def _worldline_rate(jnp, L, B, sweeps, reps, kappa, W=2):
+    """Worldline fused-stack su/s: one su = one site through the full
+    vortex+coexact+wrapping sweep stack.  Same timing discipline as
+    :func:`_fused_rate` (warmup launch, chained launches, host-readback gate)."""
+    from supervillain_tpu.ops.pallas_worldline import worldline_sweeps
+    m = jnp.zeros((B, 2, L, L), jnp.int32)
+    v = jnp.zeros((B, 1, L, L), jnp.int32)
+    m, v, acc = worldline_sweeps(jnp.int32(1), m, v, N=L, kappa=kappa, W=W,
+                                 sweeps=sweeps)
+    float(acc.sum())
+    start = time.perf_counter()
+    for k in range(reps):
+        m, v, acc = worldline_sweeps(jnp.int32(2 + k), m, v, N=L, kappa=kappa,
+                                     W=W, sweeps=sweeps)
+    float(acc.sum())
+    elapsed = time.perf_counter() - start
+    return reps * B * L * L * sweeps / elapsed, elapsed
+
+
+def _worldline_hammer_rate(jnp, L, B, sweeps, worms, reps, kappa, W=2):
+    """Worldline fused-Hammer throughput (sweeps + in-kernel worms per launch).
+
+    At equilibrium the worm length is set by physics (≈ the spin
+    susceptibility — tens of thousands of moves per worm at κ=0.5), and every
+    worm move is sampling work, so the headline counts sweep site-updates AND
+    worm moves as update operations.  Returns (updates/s, sweep-su/s,
+    worm-moves/s, elapsed)."""
+    from supervillain_tpu.ops.pallas_worldline_hammer import worldline_hammer_sweeps
+    m = jnp.zeros((B, 2, L, L), jnp.int32)
+    v = jnp.zeros((B, 1, L, L), jnp.int32)
+    m, v, acc, inline = worldline_hammer_sweeps(jnp.int32(1), m, v, N=L,
+                                                kappa=kappa, W=W, sweeps=sweeps,
+                                                worms=worms)
+    float(acc.sum())
+    moves = 0.0
+    start = time.perf_counter()
+    for k in range(reps):
+        m, v, acc, inline = worldline_hammer_sweeps(jnp.int32(2 + k), m, v, N=L,
+                                                    kappa=kappa, W=W,
+                                                    sweeps=sweeps, worms=worms)
+        moves += float(inline['Worm_Length'].sum())
+    float(acc.sum())
+    elapsed = time.perf_counter() - start
+    su = reps * B * L * L * sweeps
+    return (su + moves) / elapsed, su / elapsed, moves / elapsed, elapsed
+
+
+def _scaling_with_chip_curve(scaling, chip_curve):
+    """Attach the real-chip saturation curve to the (possibly None) virtual
+    weak-scaling summary."""
+    if not chip_curve:
+        return scaling
+    scaling = dict(scaling or {})
+    scaling['real_chip_chains_sweep_L128_su_per_s'] = chip_curve
+    scaling['real_chip_note'] = (
+        'Measured on the real chip: su/s vs chains at L=128 (median of 3). '
+        'A flat curve past saturation is the per-chip roofline the zero-'
+        'collective weak-scaling argument composes: N chips = N saturated '
+        'batches, no cross-device communication in the compiled step.')
+    return scaling
+
+
 def _scaling_summary(fast):
     """Weak-scaling evidence for the bench record.
 
@@ -107,7 +177,12 @@ def _scaling_summary(fast):
     if the subprocess cannot run (or BENCH_FAST is set)."""
     import subprocess
     here = os.path.dirname(os.path.abspath(__file__))
-    out_path = os.path.join(here, 'SCALING_r03.json')
+    # Write to an untracked output path by default so a bench run on any machine
+    # cannot silently change the committed round artifact; set
+    # BENCH_SCALING_ARTIFACT=SCALING_rNN.json to refresh a tracked artifact
+    # deliberately.  Reading falls back to the latest committed artifact.
+    out_path = os.path.join(here, os.environ.get('BENCH_SCALING_ARTIFACT',
+                                                 'SCALING_out.json'))
     if not fast:
         env = dict(os.environ, JAX_PLATFORMS='cpu')
         env.pop('XLA_FLAGS', None)
@@ -121,10 +196,15 @@ def _scaling_summary(fast):
         except Exception as e:
             print(f'# scaling subprocess unavailable ({e}); using committed artifact',
                   flush=True)
-    try:
-        with open(out_path) as f:
-            data = json.load(f)
-    except FileNotFoundError:
+    data = None
+    for candidate in (out_path, os.path.join(here, 'SCALING_r03.json')):
+        try:
+            with open(candidate) as f:
+                data = json.load(f)
+            break
+        except FileNotFoundError:
+            continue
+    if data is None:
         return None
     return {
         'weak_scaling_virtual_cpu': data.get('weak_scaling'),
@@ -153,17 +233,19 @@ def main():
     if on_tpu:
         from supervillain_tpu.ops.pallas_sweep import neighborhood_sweeps
 
-        def best_of(k, *args, **kwargs):
+        def median_of(k, *args, **kwargs):
             # The tunnel-attached runtime shows occasional ~20-30% transient
-            # slowdowns; report the best of k samples (throughput, not latency).
-            best = (0.0, 0.0)
-            for _ in range(k):
-                r, e = _fused_rate(jnp, neighborhood_sweeps, *args, **kwargs)
-                if r > best[0]:
-                    best = (r, e)
-            return best
+            # slowdowns.  The headline is the MEDIAN of k samples (robust to
+            # transients without skewing optimistic); the best is recorded
+            # alongside for the capability number.
+            samples = sorted(_fused_rate(jnp, neighborhood_sweeps, *args, **kwargs)
+                             for _ in range(k))
+            med = samples[len(samples) // 2]
+            return med[0], med[1], samples[-1][0]
 
-        rate, elapsed = best_of(2, N, chains, sweeps=50, reps=3, kappa=kappa)
+        k_samples = 1 if fast else 3
+        rate, elapsed, rate_best = median_of(k_samples, N, chains, sweeps=50,
+                                             reps=3, kappa=kappa)
 
         if os.environ.get('BENCH_PROFILE') == '1':
             # Capture one profiler trace of a timed launch as an artifact
@@ -179,9 +261,44 @@ def main():
         if not fast:
             for (Lx, Bx, cpp) in ((64, 1024, 16), (128, 512, 4), (512, 64, 1),
                                   (1024, 16, 1)):
-                rx, _ = best_of(2, Lx, Bx, sweeps=50, reps=3, kappa=kappa, cpp=cpp)
+                rx, _, _ = median_of(3, Lx, Bx, sweeps=50, reps=3, kappa=kappa, cpp=cpp)
                 sweep_table[f'L={Lx}'] = rx
         sweep_table[f'L={N}'] = rate
+
+        # Worldline formulation: the dual half of the framework, same timing
+        # discipline (median of k).  su = site through one full
+        # vortex+coexact+wrapping stack iteration.
+        def wl_median(k, *a, **kw):
+            samples = sorted(_worldline_rate(jnp, *a, **kw) for _ in range(k))
+            return samples[len(samples) // 2][0]
+
+        wl_table = {}
+        if not fast:
+            for (Lx, Bx) in ((64, 1024), (128, 512), (512, 64), (1024, 16)):
+                wl_table[f'L={Lx}'] = wl_median(3, Lx, Bx, sweeps=50, reps=3,
+                                                kappa=kappa)
+        wl_rate = wl_median(k_samples, N, chains, sweeps=50, reps=3, kappa=kappa)
+        wl_table[f'L={N}'] = wl_rate
+
+        def wlh_median(k, *a, **kw):
+            samples = sorted(_worldline_hammer_rate(jnp, *a, **kw)
+                             for _ in range(k))
+            return samples[len(samples) // 2]
+
+        wl_hammer_rate, wl_h_su, wl_h_moves, _ = wlh_median(
+            k_samples, N, chains, sweeps=50, worms=1, reps=3, kappa=kappa)
+
+        # Real-chip per-device saturation curve (the missing link in the
+        # multi-chip ≥90% structural argument): su/s vs chains at fixed L.
+        # Once the curve is flat the chip is saturated; adding chips adds
+        # saturated batches with zero collectives, so weak scaling is
+        # communication-free by construction.
+        chip_curve = {}
+        if not fast:
+            for Bx in (16, 32, 64, 128, 256, 512):
+                rx, _, _ = median_of(3, 128, Bx, sweeps=50, reps=3,
+                                     kappa=kappa, cpp=4)
+                chip_curve[f'chains={Bx}'] = rx
 
         base_steps = 5
         base_elapsed = numpy_baseline_sweep(N, kappa, 1, base_steps, np.random.default_rng(0))
@@ -193,6 +310,9 @@ def main():
             'vs_baseline': rate / base_rate,
             'detail': {
                 'elapsed_s': elapsed,
+                'timing': f'median of {k_samples} samples (best sample recorded '
+                          'as value_best)',
+                'value_best': rate_best,
                 'sweeps_per_launch': 50,
                 'timed_launches': 3,
                 'chains': chains,
@@ -201,15 +321,47 @@ def main():
                 'device': str(jax.devices()[0]),
                 'kernel': 'pallas_fused_vmem_resident (strip-chunked for L>=512)',
                 'L_sweep_su_per_s': sweep_table,
+                'worldline': {
+                    'metric': 'site-updates/s/chip (Worldline '
+                              'vortex+coexact+wrapping fused stack, W=2)',
+                    'value': wl_rate,
+                    'L_sweep_su_per_s': wl_table,
+                    'hammer_updates_per_s': wl_hammer_rate,
+                    'hammer_sweep_su_per_s': wl_h_su,
+                    'hammer_worm_moves_per_s': wl_h_moves,
+                    'hammer_note': 'sweeps + 1 in-kernel worm per 50-sweep '
+                                   'launch (the full reference worldline '
+                                   'Hammer in one launch).  At κ=0.5 the '
+                                   'equilibrium worm length is O(10^4) moves '
+                                   'per worm (≈ the susceptibility), so worm '
+                                   'time dominates the launch; the in-kernel '
+                                   'worm costs ~0.2 µs/move vs the XLA '
+                                   'vmapped worm\'s ~20 µs/move batch '
+                                   'lock-step (benchmark/worm_cost.py)',
+                    'roofline': {
+                        'ops_per_su': OPS_PER_WL_SITE_UPDATE,
+                        'achieved_op_per_s': wl_rate * OPS_PER_WL_SITE_UPDATE,
+                        'vpu_fraction': wl_rate * OPS_PER_WL_SITE_UPDATE / V5E_VPU_PEAK,
+                        'note': 'no-FMA source-op convention; a fraction '
+                                'above 1.0 is direct evidence that Mosaic '
+                                'fuses multiply-add pairs into single-slot '
+                                'FMAs (~24 fusible pairs per stack → ~0.91 '
+                                'with full FMA credit)',
+                    },
+                },
                 'roofline': {
                     'ops_per_su': OPS_PER_SITE_UPDATE,
+                    'ops_convention': 'source-level vector ops, no FMA credit '
+                                      '(upper bound on slot occupancy); see '
+                                      'VALIDATION.md',
                     'achieved_op_per_s': rate * OPS_PER_SITE_UPDATE,
                     'vpu_peak_op_per_s': V5E_VPU_PEAK,
                     'vpu_fraction': rate * OPS_PER_SITE_UPDATE / V5E_VPU_PEAK,
                     'hbm_bytes_per_su': 24.0 / 50,
                     'hbm_fraction': rate * 24.0 / 50 / V5E_HBM_BW,
                 },
-                'scaling': _scaling_summary(fast),
+                'scaling': _scaling_with_chip_curve(_scaling_summary(fast),
+                                                    chip_curve),
             },
         }))
         return

@@ -60,15 +60,46 @@ def main():
     ap.add_argument('--W', type=int, default=1,
                     help='finite vortex constraint; Δ = W²/8 scales the '
                          'susceptibility, Δn proposals come in multiples of W')
+    ap.add_argument('--worms', type=int, default=None,
+                    help='in-kernel classic worms per `thin` sweeps (fused '
+                         'Hammer kernel).  Default: 1 at W>1, 0 at W=1.  At '
+                         'W>1 the bare neighborhood kernel only changes n in '
+                         'multiples of W, freezing the Z_W winding sectors at '
+                         'their cold-start value — worms restore ergodicity '
+                         'there AND supply the inline vortex correlator.')
     args = ap.parse_args()
 
     N, B = args.L, args.chains
     L = sv.Lattice2D(N)
     W = args.W
+    worms = args.worms if args.worms is not None else (0 if W == 1 else 1)
     Delta = W ** 2 / 8
     scale = N ** (L.D - 2 * Delta)
+    # Dual (vortex-sector) exponent: Δ_V = 2/W² — the generalized-BKT pair
+    # (reference publication/generalized-bkt.rst: the W² / 4-over-W² duality).
+    DeltaV = 2 / W ** 2
+    scaleV = N ** (L.D - 2 * DeltaV)
 
-    if on_tpu:
+    if on_tpu and worms > 0 and B % max(1, 128 // N) != 0:
+        print(f'# chains={B} not divisible by the N={N} packing factor '
+              f'{max(1, 128 // N)}; falling back to worms=0 (sweeps only)')
+        worms = 0
+    if on_tpu and worms > 0:
+        # Fused Hammer: sweeps + in-kernel worms in one launch.  At N < 128
+        # chains are packed 128/N per program so the worm section fills the lanes.
+        from supervillain_tpu.ops.pallas_hammer import hammer_sweeps
+        cpp = 1 if N >= 128 else max(1, 128 // N)
+
+        def neighborhood_sweeps(seed, phi, n, *, N, kappa, W, interval_phi,
+                                interval_n, sweeps, p_n=None):
+            # Scale the worm count with the launch length so thermalization
+            # chunks keep the same worms-per-sweep density as measurements.
+            w = max(1, (worms * sweeps) // max(args.thin, 1))
+            return hammer_sweeps(seed, phi, n, N=N, kappa=kappa, W=W,
+                                 interval_phi=interval_phi,
+                                 interval_n=interval_n, sweeps=sweeps,
+                                 worms=w, p_n=p_n, chains_per_program=cpp)
+    elif on_tpu:
         from supervillain_tpu.ops.pallas_sweep import neighborhood_sweeps
     else:
         # CPU fallback with the same signature: vmapped XLA NeighborhoodUpdate
@@ -112,9 +143,12 @@ def main():
         return corr.real  # complex arrays cannot cross the device boundary here
 
     expect = '  (κ_c ≈ 0.74 expected)' if W == 1 else ''
-    print(f'# L={N} chains={B} W={W} Δ={Delta}{expect}')
-    print(f'{"κ":>6} {"acc":>6} {"ActionDensity":>16} {"WindingSq":>14} '
-          f'{"χ_S":>14} {"χ_S/L^(D-2Δ)":>14}')
+    print(f'# L={N} chains={B} W={W} Δ={Delta} Δ_V={DeltaV} worms/record={worms}{expect}')
+    head = (f'{"κ":>6} {"acc":>6} {"ActionDensity":>16} {"WindingSq":>14} '
+            f'{"χ_S":>14} {"χ_S/L^(D-2Δ)":>14}')
+    if worms > 0:
+        head += f' {"χ_V/L^(D-2Δ_V)":>15}'
+    print(head)
 
     results = {}
     for kappa in args.kappas:
@@ -137,38 +171,56 @@ def main():
             phi, n, acc, _ = launch(phi, n, chunk)
             remaining -= chunk
 
-        S_col = np.empty((args.records, B))
-        W2_col = np.empty((args.records, B))
+        S_rows, W2_rows = [], []
         chi_col = np.empty((args.records, B))
+        histV = np.zeros((B, N, N))
         accepted = 0.0
         for r in range(args.records):
             phi, n, acc, inline = launch(phi, n, args.thin)
             accepted += float(acc.sum())
-            S_col[r] = np.asarray(inline['ActionDensity'])
-            W2_col[r] = np.asarray(inline['WindingSquared'])
+            # ActionDensity/WindingSquared come back per *program* (chains may
+            # be packed several per program at small L) — still independent
+            # samples, just fewer of them.
+            S_rows.append(np.asarray(inline['ActionDensity']))
+            W2_rows.append(np.asarray(inline['WindingSquared']))
+            if 'Vortex_Vortex' in inline:
+                histV += np.asarray(inline['Vortex_Vortex'])
             corr = np.asarray(spin_correlator(phi))        # (B, N, N)
             chi_col[r] = corr.sum(axis=(1, 2)) / corr[:, 0, 0]
+        S_col = np.stack(S_rows)
+        W2_col = np.stack(W2_rows)
         acc_frac = accepted / (B * N * N * args.thin * args.records)
 
-        # Bootstrap over per-chain means: chains are independent by
-        # construction, while records within one chain stay correlated whenever
-        # thin < τ — pooling them would understate the errors.
+        # Bootstrap over per-chain (or per-program) means: chains are
+        # independent by construction, while records within one chain stay
+        # correlated whenever thin < τ — pooling them would understate errors.
         S_action = sv.Villain(L, kappa, W)
-        e = Ensemble(S_action).from_configurations(Configurations({
+        cols = {'SpinSusceptibility': chi_col.mean(axis=0)}
+        if worms > 0:
+            origin = np.maximum(histV[:, 0, 0], 1e-30)
+            cols['VortexSusceptibility'] = histV.sum(axis=(1, 2)) / origin
+        e = Ensemble(S_action).from_configurations(Configurations(cols))
+        b = Bootstrap(e, draws=args.bootstraps)
+        ep = Ensemble(S_action).from_configurations(Configurations({
             'ActionDensity': S_col.mean(axis=0),
             'WindingSquared': W2_col.mean(axis=0),
-            'SpinSusceptibility': chi_col.mean(axis=0),
         }))
-        b = Bootstrap(e, draws=args.bootstraps)
-        mS, eS = b.estimate('ActionDensity')
-        mW, eW = b.estimate('WindingSquared')
+        bp = Bootstrap(ep, draws=args.bootstraps)
+        mS, eS = bp.estimate('ActionDensity')
+        mW, eW = bp.estimate('WindingSquared')
         mX, eX = b.estimate('SpinSusceptibility')
         results[kappa] = dict(acc=acc_frac, S=(mS, eS), W2=(mW, eW),
                               chi=(mX, eX), chi_scaled=(mX / scale, eX / scale),
                               seconds=time.perf_counter() - t0)
-        print(f'{kappa:>6.2f} {acc_frac:>6.1%} {str(Uncertain(mS, eS)):>16} '
-              f'{str(Uncertain(mW, eW)):>14} {str(Uncertain(mX, eX)):>14} '
-              f'{str(Uncertain(mX / scale, eX / scale)):>14}')
+        line = (f'{kappa:>6.2f} {acc_frac:>6.1%} {str(Uncertain(mS, eS)):>16} '
+                f'{str(Uncertain(mW, eW)):>14} {str(Uncertain(mX, eX)):>14} '
+                f'{str(Uncertain(mX / scale, eX / scale)):>14}')
+        if worms > 0:
+            mV, eV = b.estimate('VortexSusceptibility')
+            results[kappa]['chiV'] = (mV, eV)
+            results[kappa]['chiV_scaled'] = (mV / scaleV, eV / scaleV)
+            line += f' {str(Uncertain(mV / scaleV, eV / scaleV)):>15}'
+        print(line, flush=True)
 
     if args.h5:
         import h5py

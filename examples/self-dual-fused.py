@@ -42,12 +42,23 @@ def main():
     ap.add_argument('--therm-factor', type=int, default=8,
                     help='thermalization sweeps = factor * L^2')
     ap.add_argument('--records', type=int, default=24)
+    ap.add_argument('--worms', type=int, default=1,
+                    help='in-kernel worms per thin interval (both sides run '
+                         'their W=∞ Hammer kernels: closed worms preserve the '
+                         'constraints exactly while sampling the integer '
+                         'winding sectors the bare sweep kernels freeze).  '
+                         '0 = sweeps only (the round-3 methodology).')
     args = ap.parse_args()
 
     N, B, kappa = args.L, args.chains, args.kappa
     therm = args.therm_factor * N * N
     thin = max(64, N * N // 8)
     launch_cap = 4096
+    worms = args.worms
+    if worms > 0 and (N % 128 != 0 or N > 256):
+        print(f'# L={N} outside the hammer envelope (N%128==0, N<=256); '
+              f'falling back to worms=0')
+        worms = 0
 
     if not on_tpu:
         print('# CPU backend: the fused kernels cannot run; this script is a '
@@ -63,15 +74,23 @@ def main():
             sweeps -= c
         return state
 
-    # ---- Villain side: z-mode fused sweeps --------------------------------
+    # ---- Villain side: z-mode fused sweeps (+ worms: the W=∞ Hammer) ------
     from supervillain_tpu.ops.pallas_sweep import neighborhood_sweeps
+    from supervillain_tpu.ops.pallas_hammer import hammer_sweeps
 
     def v_launch(state, sweeps):
         phi, n = state
-        phi, n, acc, inline = neighborhood_sweeps(
-            jnp.int32(rng.integers(0, 2 ** 31 - 1)), phi, n, N=N, kappa=kappa,
-            W=float('inf'), interval_phi=1.5, interval_n=1, sweeps=sweeps,
-            interpret=not on_tpu)
+        if worms > 0:
+            phi, n, acc, inline = hammer_sweeps(
+                jnp.int32(rng.integers(0, 2 ** 31 - 1)), phi, n, N=N,
+                kappa=kappa, W=float('inf'), interval_phi=1.5, interval_n=1,
+                sweeps=sweeps, worms=max(1, (worms * sweeps) // thin),
+                interpret=not on_tpu)
+        else:
+            phi, n, acc, inline = neighborhood_sweeps(
+                jnp.int32(rng.integers(0, 2 ** 31 - 1)), phi, n, N=N, kappa=kappa,
+                W=float('inf'), interval_phi=1.5, interval_n=1, sweeps=sweeps,
+                interpret=not on_tpu)
         return (phi, n), inline
 
     t0 = time.perf_counter()
@@ -86,8 +105,9 @@ def main():
     assert float(np.abs(np.asarray(inline['WindingSquared'])).max()) == 0.0
     v_secs = time.perf_counter() - t0
 
-    # ---- Worldline side: float-v fused local updates ----------------------
+    # ---- Worldline side: float-v fused local updates (+ worms: Hammer) ----
     from supervillain_tpu.ops.pallas_worldline import worldline_sweeps
+    from supervillain_tpu.ops.pallas_worldline_hammer import worldline_hammer_sweeps
     from supervillain_tpu.ops import calculus as calc
 
     L2d = sv.Lattice2D(N)
@@ -102,10 +122,17 @@ def main():
 
     def w_launch(state, sweeps):
         m, v = state
-        m, v, acc = worldline_sweeps(
-            jnp.int32(rng.integers(0, 2 ** 31 - 1)), m, v, N=N, kappa=kappa,
-            W=float('inf'), interval_v=1, interval_t=1, interval_w=1,
-            sweeps=sweeps, interpret=not on_tpu)
+        if worms > 0:
+            m, v, acc, _ = worldline_hammer_sweeps(
+                jnp.int32(rng.integers(0, 2 ** 31 - 1)), m, v, N=N, kappa=kappa,
+                W=float('inf'), interval_v=1, interval_t=1, interval_w=1,
+                sweeps=sweeps, worms=max(1, (worms * sweeps) // thin),
+                interpret=not on_tpu)
+        else:
+            m, v, acc = worldline_sweeps(
+                jnp.int32(rng.integers(0, 2 ** 31 - 1)), m, v, N=N, kappa=kappa,
+                W=float('inf'), interval_v=1, interval_t=1, interval_w=1,
+                sweeps=sweeps, interpret=not on_tpu)
         return (m, v)
 
     t0 = time.perf_counter()

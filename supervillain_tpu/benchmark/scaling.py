@@ -134,6 +134,52 @@ def audit_collectives(N=32, chains=64, steps=10, kappa=0.5):
     return counts
 
 
+def audit_space_mesh_collectives(N=32, space=4, kappa=0.5, W=2):
+    """Compile a *space-sharded* Hammer step (lattice last axis split over the
+    mesh's ``space`` axis) and count the collectives in the optimized HLO.
+
+    Complement of :func:`audit_collectives`: the chains mesh must show **zero**
+    collectives (independent chains), while the space mesh *must* show
+    ``collective-permute > 0`` — XLA partitions the roll stencils with halo
+    permutes.  Zero here would mean XLA gathered the whole lattice per device
+    (sharding annotation lost), so the expected-positive count is itself the
+    audit."""
+    import re
+    import supervillain_tpu as sv
+    from supervillain_tpu.generators import villain as gv
+
+    devices = jax.devices()
+    if len(devices) < space:
+        raise ValueError(f'need {space} devices, have {len(devices)}')
+    mesh = Mesh(np.array(devices[:space]).reshape(1, space), ('chains', 'space'))
+    S = sv.Villain(sv.Lattice2D(N), kappa, W=W)
+    G = gv.Hammer(S, fleet=True)
+    chains = 1
+    cfg0 = S.initial()
+    cfgs = jax.tree.map(lambda x: jnp.broadcast_to(x, (chains,) + x.shape), cfg0)
+    cfgs = {k: jax.device_put(v, NamedSharding(mesh, P('chains', None, None, 'space')))
+            for k, v in cfgs.items()}
+    stats = jax.tree.map(
+        lambda x: jax.device_put(jnp.broadcast_to(x, (chains,) + x.shape),
+                                 NamedSharding(mesh, P('chains'))),
+        G.init_stats())
+
+    def one(k, c, s):
+        c, s, _ = G.step(k, c, s)
+        return c, s
+
+    @jax.jit
+    def run(key, cfgs, stats):
+        keys = jax.vmap(lambda i: jax.random.fold_in(key, i))(jnp.arange(chains))
+        return jax.vmap(one)(keys, cfgs, stats)
+
+    hlo = run.lower(jax.random.key(0), cfgs, stats).compile().as_text()
+    counts = {op: len(re.findall(op, hlo))
+              for op in ('all-reduce', 'all-gather', 'all-to-all',
+                         'collective-permute', 'reduce-scatter')}
+    return counts
+
+
 def _force_virtual_cpu(n):
     """Before any backend use: switch to n virtual CPU devices (dev-box mode)."""
     import os
@@ -161,6 +207,11 @@ if __name__ == '__main__':
                                steps=args.steps)
     collectives = audit_collectives(N=args.N)
     print('collective ops in the compiled SPMD fleet step:', collectives)
+    try:
+        space_collectives = audit_space_mesh_collectives(N=args.N)
+    except ValueError as e:
+        space_collectives = {'unavailable': str(e)}
+    print('collective ops in the space-sharded Hammer step:', space_collectives)
     if args.json:
         import json
         import os
@@ -172,11 +223,15 @@ if __name__ == '__main__':
                        'host_physical_cores': os.cpu_count()},
             'weak_scaling': table,
             'collectives_in_compiled_step': collectives,
+            'collectives_in_space_sharded_step': space_collectives,
             'note': ('Chains are independent: the compiled SPMD step contains '
                      'zero cross-device collectives, so weak scaling is '
                      'communication-free by construction. On a virtual CPU mesh '
                      'the measured efficiency is bounded by physical host cores '
-                     '(devices oversubscribe cores), not by the program.'),
+                     '(devices oversubscribe cores), not by the program. The '
+                     'space-sharded Hammer step must instead show '
+                     'collective-permute > 0: XLA partitions the roll stencils '
+                     'with halo permutes riding ICI.'),
         }
         with open(args.json, 'w') as f:
             json.dump(payload, f, indent=1)

@@ -5,4 +5,5 @@ from . import villain
 from . import worldline
 from .villain_fused import (FusedNeighborhoodUpdate, FusedExactNeighborhoodUpdate,
                             FusedHammer, FusedClassicWorm)
-from .worldline_fused import FusedWorldlineUpdate
+from .worldline_fused import (FusedWorldlineUpdate, FusedWorldlineWorm,
+                              FusedWorldlineHammer)

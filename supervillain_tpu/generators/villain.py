@@ -379,9 +379,15 @@ class ClassicWorm(Generator):
     satisfies detailed balance in the extended (fields, head, tail) space, so
     trajectories pair with their reversals at equal length — restricting to
     trajectories of length ≤ ``max_moves`` and returning the unclosed remainder
-    to the start state preserves detailed balance of the whole-worm kernel.
-    The inline histogram keeps all tallies either way: each visited extended
-    state is a stationary sample."""
+    to the start state preserves detailed balance of the whole-worm kernel, so
+    the *field*-sector chain is exact.  The inline worm *estimators*
+    (``Vortex_Vortex``, ``Worm_Length``) are a different matter: truncation
+    removes the visits a long excursion would have contributed beyond
+    ``max_moves``, so whenever truncation actually fires the histogram is
+    biased toward short head–tail separations (the long-distance correlator
+    tail is undersampled).  :meth:`report` therefore surfaces the truncated
+    fraction — keep it ≲ a per-mille of worms (raise ``max_moves``) before
+    using the inline correlator quantitatively."""
 
     name = 'ClassicWorm'
     fields = ('phi', 'n')

@@ -144,14 +144,22 @@ class FusedHammer(Generator):
     """In-kernel Hammer composition (:mod:`supervillain_tpu.ops.pallas_hammer`):
     one Pallas launch runs ``sweeps_per_step`` neighborhood sweeps *and*
     ``worms`` classic worms per chain on the same VMEM-resident residuals — the
-    ergodic W=1 fleet composite with zero extra launches and no cross-chain
+    ergodic fleet composite with zero extra launches and no cross-chain
     worm lock-step.  Inline ``ActionDensity``/``WindingSquared`` (per-sweep
     averages) and the worm's ``Vortex_Vortex``/``Worm_Length`` come back from
     the kernel.
 
-    TPU-only, D=2, N a multiple of 128, finite W; elsewhere falls back to the
-    XLA ``Sequentially(NeighborhoodUpdate, KeepEvery(worms, ClassicWorm))`` with
-    the same stats tags."""
+    ``W = ∞`` runs the sweep section in z-mode (Δn = d(Δz), dn = 0 exact) with
+    the worm kept: an in-kernel worm always closes before the state is
+    emitted, and closed worms preserve dn = 0 exactly while wrapping worms
+    sample the integer winding sectors z-mode sweeps freeze.
+
+    TPU-only, D=2, N a multiple of 128 (at N=64 use
+    :func:`~supervillain_tpu.ops.pallas_hammer.hammer_sweeps` with
+    ``chains_per_program=2`` — this single-chain wrapper cannot pack);
+    elsewhere falls back to the XLA
+    ``Sequentially(NeighborhoodUpdate-or-Exact, KeepEvery(worms, ClassicWorm))``
+    with the same stats tags."""
 
     name = 'FusedHammer'
     fields = ('phi', 'n')
@@ -160,9 +168,6 @@ class FusedHammer(Generator):
                  worms=1, p_n=None):
         if not isinstance(action, Villain):
             raise ValueError('Need a Villain action')
-        if action.W == float('inf'):
-            raise ValueError('FusedHammer needs finite W (the neighborhood '
-                             'section proposes Δn in multiples of W).')
         self.Action = action
         self.Lattice = action.Lattice
         self.interval_phi = float(interval_phi)
@@ -170,22 +175,34 @@ class FusedHammer(Generator):
         self.sweeps_per_step = int(sweeps_per_step)
         self.worms = int(worms)
         self.p_n = None if p_n is None else float(p_n)
+        winf = action.W == float('inf')
+        self._kernel_W = action.W if winf else int(action.W)
         self._fallback = None
-        if not (_pallas_supported(action) and action.Lattice.N % 128 == 0):
-            from .villain import NeighborhoodUpdate, ClassicWorm
+        if not (_pallas_supported(action, allow_winf=True)
+                and action.Lattice.N % 128 == 0):
+            from .villain import NeighborhoodUpdate, ExactNeighborhoodUpdate, ClassicWorm
             from .combining import Sequentially, KeepEvery
-            nu = NeighborhoodUpdate(action, interval_phi, interval_n, p_n=p_n)
+            if winf:
+                nu = ExactNeighborhoodUpdate(action, interval_phi, interval_n,
+                                             p_z=p_n)
+            else:
+                nu = NeighborhoodUpdate(action, interval_phi, interval_n, p_n=p_n)
             worm = ClassicWorm(action)
             parts = [KeepEvery(self.sweeps_per_step, nu) if self.sweeps_per_step > 1 else nu,
                      KeepEvery(worms, worm) if worms > 1 else worm]
             self._fallback = Sequentially(parts)
+
+    @property
+    def _sweep_tag(self):
+        return ('ExactNeighborhoodUpdate' if self._kernel_W == float('inf')
+                else 'NeighborhoodUpdate')
 
     def init_stats(self):
         if self._fallback is not None:
             return self._fallback.init_stats()
         zero = lambda: {'accepted': jnp.zeros(()), 'proposed': jnp.zeros(()),
                         'acceptance': jnp.zeros(()), 'sweeps': jnp.zeros(())}
-        return {'NeighborhoodUpdate': zero(), 'ClassicWorm': zero()}
+        return {self._sweep_tag: zero(), 'ClassicWorm': zero()}
 
     def inline_shapes(self):
         L = self.Lattice
@@ -206,15 +223,15 @@ class FusedHammer(Generator):
         phi = cfg['phi'].astype(jnp.float32)[None]
         n = cfg['n'].astype(jnp.int32)[None]
         phi, n, accepted, inline = hammer_sweeps(
-            seed, phi, n, N=L.N, kappa=S.kappa, W=int(S.W),
+            seed, phi, n, N=L.N, kappa=S.kappa, W=self._kernel_W,
             interval_phi=self.interval_phi, interval_n=self.interval_n,
             sweeps=self.sweeps_per_step, worms=self.worms, p_n=self.p_n)
         wl = inline['Worm_Length'][0]
         su = float(L.sites * self.sweeps_per_step)
-        sN = stats['NeighborhoodUpdate']
+        sN = stats[self._sweep_tag]
         sW = stats['ClassicWorm']
         stats = stats | {
-            'NeighborhoodUpdate': {
+            self._sweep_tag: {
                 'accepted': sN['accepted'] + accepted[0],
                 'proposed': sN['proposed'] + su,
                 'acceptance': sN['acceptance'] + accepted[0] / su,

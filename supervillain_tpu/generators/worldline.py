@@ -55,7 +55,10 @@ class VortexUpdate(Generator):
         _require_worldline(action)
         self.Action = action
         self.Lattice = action.Lattice
-        self.interval_v = int(interval_v)
+        # At W=∞ the proposal is continuous U(-interval_v, +interval_v): a
+        # float width (e.g. 0.5) is meaningful and must not truncate to 0.
+        self.interval_v = (float(interval_v) if action.W == float('inf')
+                           else int(interval_v))
 
     def step(self, key, cfg, stats):
         S, L = self.Action, self.Lattice
@@ -250,8 +253,12 @@ class ClassicWorm(Generator):
     at head/tail for any W, so the rollback applies always.  Exactness: each
     micro-move satisfies detailed balance in the extended space, trajectories
     pair with equal-length reversals, so the symmetric length restriction
-    preserves detailed balance; the inline histogram keeps all tallies (every
-    visited extended state is a stationary sample)."""
+    preserves detailed balance and the *field*-sector chain is exact.  The
+    inline ``Spin_Spin``/``Worm_Length`` estimators, however, lose the visits a
+    long excursion would have contributed beyond the cap: when truncation
+    actually fires they are biased toward short head–tail separations.
+    :meth:`report` surfaces the truncated fraction — keep it ≲ a per-mille of
+    worms before using the inline correlator quantitatively."""
 
     name = 'ClassicWorm'
     fields = ('m', 'v')

@@ -17,9 +17,24 @@ __init__.py:10-63, with the Site/Link pair fused as the neighborhood update) up
 to PRNG streams; each section's move semantics match its standalone kernel,
 which are validated against the XLA generators on hardware.
 
-D=2, even N with N a multiple of 128 (the worm's lane-masked scalar access needs
-the lattice to fill whole 128-lane tiles; L=128 and L=256 are the fleet
-workloads), finite W.  Grid: one program per chain.
+Envelope (D=2, even N):
+
+* ``N ≥ 128`` with N a multiple of 128 runs one chain per program.
+* ``N < 128`` (the L=64 BKT finite-size-scaling workload) packs
+  ``chains_per_program`` chains per program in the *interleaved* layout of
+  :func:`..pallas_sweep._make_kernel` (row = t·C0 + chain_row, lane =
+  x·C1 + chain_col) so the 128 vector lanes stay full; the worm section then
+  runs the program's C chains' worms sequentially with strided element access
+  (worm work is tiny next to the sweeps, so the serialization is immaterial).
+  Requires C1·N a multiple of 128 (e.g. ``chains_per_program=2`` at N=64).
+* ``W = ∞`` runs the sweep section in z-mode (Δn = d(Δz), preserving dn = 0
+  exactly — see :func:`..pallas_sweep._make_kernel`) and keeps the worm
+  section: an in-kernel worm always *closes* before the state is emitted, and
+  a closed worm's Δn telescopes to a closed dual loop, so dn = 0 survives
+  exactly while torus-wrapping worms sample the integer winding sectors that
+  pure z-mode sweeps freeze (d(Δz) cannot change a holonomy).
+
+Grid: one program per chain-group.
 """
 
 from __future__ import annotations
@@ -39,11 +54,13 @@ _GOLD = np.int32(2654435761 & 0x7FFFFFFF)
 
 
 def _make_hammer_kernel(N, kappa, W, interval_phi, interval_n, sweeps, worms,
-                        p_n=None):
+                        C0=1, C1=1, p_n=None):
+    winf = (W == float('inf'))
     kappa = np.float32(kappa)
     interval_phi = np.float32(interval_phi)
     closed_always = (W == 1)
-    shape = (N, N)
+    C = C0 * C1
+    shape = (C0 * N, C1 * N)
 
     # Worm move tables (generators.villain.ClassicWorm / pallas_worm).
     MOVE_T = (0, 1, 0, -1)
@@ -61,15 +78,15 @@ def _make_hammer_kernel(N, kappa, W, interval_phi, interval_n, sweeps, worms,
 
     def kernel(seed_ref, phi_ref, n_ref, phi_out, n_out, hist_ref, stat_ref,
                r0_s, r1_s):
-        chain = pl.program_id(0)
-        pltpu.prng_seed(seed_ref[0] + chain * _GOLD)
+        group = pl.program_id(0)
+        pltpu.prng_seed(seed_ref[0] + group * _GOLD)
 
         row = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
         lane = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
-        parity = (row + lane) % 2
+        parity = (row // C0 + lane // C1) % 2
 
-        _rt = lambda x, s: _roll(x, s, 0)
-        _rx = lambda x, s: _roll(x, s, 1)
+        _rt = lambda x, s: _roll(x, s * C0, 0)
+        _rx = lambda x, s: _roll(x, s * C1, 1)
 
         phi = phi_ref[0, 0]
         n0 = n_ref[0, 0]
@@ -94,12 +111,19 @@ def _make_hammer_kernel(N, kappa, W, interval_phi, interval_n, sweeps, worms,
             imask, fmask, imask_t, imask_x = _masks[color]
 
             dphi = (2.0 * _uniform(shape) - 1.0) * interval_phi * fmask
-            fwd0 = (W * draw()) * imask
-            fwd1 = (W * draw()) * imask
-            bwd0 = (W * draw()) * imask_t
-            bwd1 = (W * draw()) * imask_x
-            cn0 = fwd0 + bwd0
-            cn1 = fwd1 + bwd1
+            if winf:
+                dz = draw() * imask
+                dz_t = _rt(dz, -1)
+                dz_x = _rx(dz, -1)
+                cn0 = dz_t - dz
+                cn1 = dz_x - dz
+            else:
+                fwd0 = (W * draw()) * imask
+                fwd1 = (W * draw()) * imask
+                bwd0 = (W * draw()) * imask_t
+                bwd1 = (W * draw()) * imask_x
+                cn0 = fwd0 + bwd0
+                cn1 = fwd1 + bwd1
 
             dphi_t = _rt(dphi, -1)
             dphi_x = _rx(dphi, -1)
@@ -115,8 +139,13 @@ def _make_hammer_kernel(N, kappa, W, interval_phi, interval_n, sweeps, worms,
             acc_x = _rx(accept, -1)
 
             a_phi = dphi * facc
-            a_n0 = fwd0 * accept + bwd0 * acc_t
-            a_n1 = fwd1 * accept + bwd1 * acc_x
+            if winf:
+                az = dz * accept
+                a_n0 = dz_t * acc_t - az
+                a_n1 = dz_x * acc_x - az
+            else:
+                a_n0 = fwd0 * accept + bwd0 * acc_t
+                a_n1 = fwd1 * accept + bwd1 * acc_x
 
             phi = phi + a_phi
             n0 = n0 + a_n0
@@ -133,10 +162,10 @@ def _make_hammer_kernel(N, kappa, W, interval_phi, interval_n, sweeps, worms,
             phi, n0, n1, r0, r1, acc = color_pass(
                 1, color_pass(0, (phi, n0, n1, r0, r1, acc)))
             sS = sS + (kappa / 2) * (jnp.sum(r0 * r0) + jnp.sum(r1 * r1)) \
-                * np.float32(1.0 / (N * N))
+                * np.float32(1.0 / (C * N * N))
             dn = (_rt(n1, -1) - n1) - (_rx(n0, -1) - n0)
             dnf = dn.astype(jnp.float32)
-            sw2 = sw2 + jnp.sum(dnf * dnf) * np.float32(1.0 / (N * N))
+            sw2 = sw2 + jnp.sum(dnf * dnf) * np.float32(1.0 / (C * N * N))
             return phi, n0, n1, r0, r1, acc, sS, sw2
 
         phi, n0, n1, r0, r1, acc, sS, sw2 = jax.lax.fori_loop(
@@ -152,6 +181,8 @@ def _make_hammer_kernel(N, kappa, W, interval_phi, interval_n, sweeps, worms,
         r1_s[:] = r1
 
         # ---- section 2: classic worms on the resident residuals ------------
+        # With packing the program runs worms for each of its C chains in turn
+        # (strided element access picks out one chain's interleaved sites).
 
         def draws():
             bits = pltpu.bitcast(pltpu.prng_random_bits((8, 128)), jnp.int32)
@@ -164,22 +195,36 @@ def _make_hammer_kernel(N, kappa, W, interval_phi, interval_n, sweeps, worms,
         def rand_site(w):
             return jnp.floor(unif(w) * np.float32(N)).astype(jnp.int32)
 
-        lane1 = jax.lax.broadcasted_iota(jnp.int32, (1, N), 1)
+        lane1 = jax.lax.broadcasted_iota(jnp.int32, (1, C1 * N), 1)
 
         def load1(ref, i, j):
-            r = ref[pl.ds(i, 1), :]
-            return jnp.sum(jnp.where(lane1 == j, r, jnp.zeros_like(r)))
+            row = ref[pl.ds(i, 1), :]
+            return jnp.sum(jnp.where(lane1 == j, row, jnp.zeros_like(row)))
 
         def add1(ref, i, j, val):
-            r = ref[pl.ds(i, 1), :]
-            ref[pl.ds(i, 1), :] = r + jnp.where(lane1 == j, val, jnp.zeros_like(r))
+            row = ref[pl.ds(i, 1), :]
+            ref[pl.ds(i, 1), :] = row + jnp.where(lane1 == j, val, jnp.zeros_like(row))
 
         def worm_body(w, carry):
+            # Interleave chains: worm w belongs to chain c = w mod C of this
+            # program's pack (row offset c // C1, lane offset c mod C1).
+            c = jax.lax.rem(w, jnp.int32(C))
+            c0 = c // jnp.int32(C1)
+            c1 = jax.lax.rem(c, jnp.int32(C1))
+
+            def ridx(t):
+                return t * C0 + c0
+
+            def lidx(x):
+                return x * C1 + c1
+
             w0, w1, w2, w3 = draws()
             orientation = jnp.where(w0 > 0, jnp.int32(1), jnp.int32(-1))
             tail_t = rand_site(w1)
             tail_x = rand_site(w2)
             if closed_always:
+                # At W=1 an open worm satisfies the (mod 1) constraint from the
+                # start: insert the head anywhere.
                 w4, w5, _, _ = draws()
                 head0_t = rand_site(w4)
                 head0_x = rand_site(w5)
@@ -191,10 +236,10 @@ def _make_hammer_kernel(N, kappa, W, interval_phi, interval_n, sweeps, worms,
 
             def body(state):
                 _, head_t, head_x = state
-                c0, c1, c2, _ = draws()
-                u_close = unif(c0)
-                choice = jax.lax.bitwise_and(c1, jnp.int32(3))
-                u_acc = unif(c2)
+                c0w, c1w, c2w, _ = draws()
+                u_close = unif(c0w)
+                choice = jax.lax.bitwise_and(c1w, jnp.int32(3))
+                u_acc = unif(c2w)
 
                 if closed_always:
                     closed = jnp.bool_(True)
@@ -209,21 +254,21 @@ def _make_hammer_kernel(N, kappa, W, interval_phi, interval_n, sweeps, worms,
                 lx = jax.lax.rem(head_x + pick(choice, OFF_X), jnp.int32(N))
                 dn = orientation * pick(choice, PLAQ)
 
-                link_val = jnp.where(ld == 0, load1(r0_s, lt, lx),
-                                     load1(r1_s, lt, lx))
+                link_val = jnp.where(ld == 0, load1(r0_s, ridx(lt), lidx(lx)),
+                                     load1(r1_s, ridx(lt), lidx(lx)))
                 dnf = dn.astype(jnp.float32)
                 dS = (kappa / 2) * (-TWO_PI * dnf) * (2.0 * link_val - TWO_PI * dnf)
                 accept = (u_acc < _exp_neg(dS)) & ~close_now
 
                 @pl.when(accept & (ld == 0))
                 def _():
-                    add1(n_out.at[0, 0], lt, lx, dn)
-                    add1(r0_s, lt, lx, -TWO_PI * dnf)
+                    add1(n_out.at[0, 0], ridx(lt), lidx(lx), dn)
+                    add1(r0_s, ridx(lt), lidx(lx), -TWO_PI * dnf)
 
                 @pl.when(accept & (ld == 1))
                 def _():
-                    add1(n_out.at[0, 1], lt, lx, dn)
-                    add1(r1_s, lt, lx, -TWO_PI * dnf)
+                    add1(n_out.at[0, 1], ridx(lt), lidx(lx), dn)
+                    add1(r1_s, ridx(lt), lidx(lx), -TWO_PI * dnf)
 
                 head_t = jnp.where(accept, next_t, head_t)
                 head_x = jnp.where(accept, next_x, head_x)
@@ -232,7 +277,7 @@ def _make_hammer_kernel(N, kappa, W, interval_phi, interval_n, sweeps, worms,
                 def _():
                     dt = jax.lax.rem(head_t - tail_t + N, jnp.int32(N))
                     dx = jax.lax.rem(head_x - tail_x + N, jnp.int32(N))
-                    add1(hist_ref.at[0], dt, dx, np.float32(1.0))
+                    add1(hist_ref.at[0], ridx(dt), lidx(dx), np.float32(1.0))
 
                 return (jnp.where(close_now, jnp.int32(1), jnp.int32(0)),
                         head_t, head_x)
@@ -240,7 +285,7 @@ def _make_hammer_kernel(N, kappa, W, interval_phi, interval_n, sweeps, worms,
             jax.lax.while_loop(cond, body, (jnp.int32(0), head0_t, head0_x))
             return carry
 
-        jax.lax.fori_loop(0, worms, worm_body, jnp.int32(0))
+        jax.lax.fori_loop(0, worms * C, worm_body, jnp.int32(0))
 
         length = jnp.sum(hist_ref[0])
         stat_ref[0] = jnp.concatenate([
@@ -255,9 +300,11 @@ def _make_hammer_kernel(N, kappa, W, interval_phi, interval_n, sweeps, worms,
 
 
 @partial(jax.jit, static_argnames=('N', 'kappa', 'W', 'interval_phi', 'interval_n',
-                                   'sweeps', 'worms', 'p_n', 'interpret'))
+                                   'sweeps', 'worms', 'p_n', 'chains_per_program',
+                                   'interpret'))
 def hammer_sweeps(seed, phi, n, *, N, kappa, W, interval_phi, interval_n,
-                  sweeps, worms=1, p_n=None, interpret=False):
+                  sweeps, worms=1, p_n=None, chains_per_program=1,
+                  interpret=False):
     """Run ``sweeps`` fused neighborhood sweeps followed by ``worms`` classic
     worms per chain, in one Pallas launch.
 
@@ -267,38 +314,76 @@ def hammer_sweeps(seed, phi, n, *, N, kappa, W, interval_phi, interval_n,
     phi: (B, 1, N, N) float32
     n: (B, 2, N, N) int32
 
+    ``W = inf`` runs z-mode sweeps (dn = 0 preserved exactly) with the worm
+    section kept: closed worms preserve dn = 0 exactly, and wrapping worms
+    sample the integer winding sectors pure z-mode sweeps cannot reach.
+
+    ``chains_per_program`` > 1 packs chains in the interleaved layout so small
+    lattices (N < 128) fill the vector lanes; needs ``C1·N % 128 == 0`` where
+    C1 = min(cpp, 128 // N) — e.g. ``chains_per_program=2`` at N=64.
+
     Returns
     -------
-    (phi, n, accepted, inline): updated fields, per-chain accepted sweep-move
-    counts (B,), and inline observables: per-sweep-averaged ``ActionDensity``
-    and ``WindingSquared``, the worm ``Vortex_Vortex`` histogram (B, N, N), and
-    ``Worm_Length`` (B,).
+    (phi, n, accepted, inline): updated fields, per-program accepted sweep-move
+    counts (G,), and inline observables: per-sweep-averaged ``ActionDensity``
+    and ``WindingSquared`` (G,), the per-chain worm ``Vortex_Vortex`` histogram
+    (B, N, N), and per-chain ``Worm_Length`` (B,).
     """
-    if N % 128 != 0:
-        raise ValueError('hammer_sweeps needs N to be a multiple of 128 '
-                         '(the worm section addresses whole 128-lane tiles).')
     B = phi.shape[0]
+    C = chains_per_program
+    if B % C != 0:
+        raise ValueError(f'{B} chains not divisible by chains_per_program={C}')
+    G = B // C
+    C1 = min(C, max(1, 128 // N))
+    while C % C1 != 0:
+        C1 -= 1
+    C0 = C // C1
+    if (C1 * N) % 128 != 0:
+        raise ValueError(f'hammer_sweeps needs C1*N to be a multiple of 128 '
+                         f'(got C1={C1}, N={N}): the worm section addresses '
+                         f'whole 128-lane tiles.  At N<128 pass '
+                         f'chains_per_program >= {128 // N}.')
+    R, CN = C0 * N, C1 * N
+
+    def pack(x):
+        k = x.shape[1]
+        return (x.reshape(G, C0, C1, k, N, N).transpose(0, 3, 4, 1, 5, 2)
+                .reshape(G, k, R, CN))
+
+    def unpack(x):
+        k = x.shape[1]
+        return (x.reshape(G, k, N, C0, N, C1).transpose(0, 3, 5, 1, 2, 4)
+                .reshape(B, k, N, N))
+
+    phi_p = pack(phi) if C > 1 else phi
+    n_p = pack(n) if C > 1 else n
+
     kernel = _make_hammer_kernel(N, kappa, W, interval_phi, interval_n,
-                                 sweeps, worms, p_n=p_n)
-    phi_spec = pl.BlockSpec((1, 1, N, N), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM)
-    n_spec = pl.BlockSpec((1, 2, N, N), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM)
+                                 sweeps, worms, C0=C0, C1=C1, p_n=p_n)
+    phi_spec = pl.BlockSpec((1, 1, R, CN), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM)
+    n_spec = pl.BlockSpec((1, 2, R, CN), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM)
     out_phi, out_n, hist, stat = pl.pallas_call(
         kernel,
-        grid=(B,),
+        grid=(G,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM), phi_spec, n_spec],
         out_specs=(phi_spec, n_spec,
-                   pl.BlockSpec((1, N, N), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+                   pl.BlockSpec((1, R, CN), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
                    pl.BlockSpec((1, 8, 128), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)),
-        out_shape=(jax.ShapeDtypeStruct(phi.shape, jnp.float32),
-                   jax.ShapeDtypeStruct(n.shape, jnp.int32),
-                   jax.ShapeDtypeStruct((B, N, N), jnp.float32),
-                   jax.ShapeDtypeStruct((B, 8, 128), jnp.float32)),
-        scratch_shapes=[pltpu.VMEM((N, N), jnp.float32),
-                        pltpu.VMEM((N, N), jnp.float32)],
+        out_shape=(jax.ShapeDtypeStruct(phi_p.shape, jnp.float32),
+                   jax.ShapeDtypeStruct(n_p.shape, jnp.int32),
+                   jax.ShapeDtypeStruct((G, R, CN), jnp.float32),
+                   jax.ShapeDtypeStruct((G, 8, 128), jnp.float32)),
+        scratch_shapes=[pltpu.VMEM((R, CN), jnp.float32),
+                        pltpu.VMEM((R, CN), jnp.float32)],
         interpret=interpret,
-    )(jnp.asarray(seed, jnp.int32).reshape(1), phi, n)
+    )(jnp.asarray(seed, jnp.int32).reshape(1), phi_p, n_p)
+    if C > 1:
+        out_phi = unpack(out_phi)
+        out_n = unpack(out_n)
+        hist = unpack(hist[:, None])[:, 0]
+    wl = jnp.sum(hist, axis=(1, 2))
     inline = {'ActionDensity': stat[:, 1, 0] / sweeps,
               'WindingSquared': stat[:, 2, 0] / sweeps,
               'Vortex_Vortex': hist,
-              'Worm_Length': stat[:, 3, 0]}
+              'Worm_Length': wl}
     return out_phi, out_n, stat[:, 0, 0], inline

@@ -19,9 +19,10 @@ Two kernel bodies share the launch wrapper: a monolithic whole-lattice kernel fo
 N ≤ 256 (optionally packing several chains per program so small lattices fill the
 128 vector lanes) and a strip-chunked kernel for N ≥ 512 whose color passes walk
 the lattice in row strips to bound VMEM temporaries (see
-:func:`_make_strip_kernel`).  Measured on v5e: ~9.5e9 su/s at L=256 and ~8.8e9 at
-L=512/1024 — VPU-compute-bound (~48% of ALU peak), with HBM traffic amortized to
-~0.5 B per site-update at 50 sweeps/launch.
+:func:`_make_strip_kernel`).  Measured on v5e (round-3 driver run, BENCH_r03):
+16.8e9 su/s at L=256, ≥11.5e9 across L=64..1024 — VPU-compute-bound, with HBM
+traffic amortized to ~0.5 B per site-update at 50 sweeps/launch (see bench.py's
+roofline block for the current op count and peak fraction).
 """
 
 from __future__ import annotations

@@ -50,23 +50,109 @@ def _coface(f0, f1):
     return f0 + _roll(f0, -1, 1) + f1 + _roll(f1, -1, 0)
 
 
-def _make_kernel(N, kappa, W, interval_v, interval_t, interval_w, sweeps):
-    # W = inf selects the W=∞ action: v is a float field, the vortex proposal
-    # is continuous U(-interval_v, +interval_v), and the action's internal
-    # normalization _W = 2π (models/worldline.py; reference
-    # /root/reference/supervillain/action/worldline.py:46-50).
+def _monolithic_passes(N, kappa, W, interval_v, interval_t, interval_w):
+    """Build the (vortex, coexact, wrapping) pass closures over whole-lattice
+    state ``(m0, m1, v, dv0, dv1, acc)``.  Must be called *inside* a kernel
+    body (the closures trace iotas/PRNG ops).  Shared by the worldline sweep
+    kernel below and the worldline hammer kernel
+    (:mod:`.pallas_worldline_hammer`).
+
+    W = inf selects the W=∞ action: v is a float field, the vortex proposal
+    is continuous U(-interval_v, +interval_v), and the action's internal
+    normalization _W = 2π (models/worldline.py; reference
+    /root/reference/supervillain/action/worldline.py:46-50)."""
     winf = (W == float('inf'))
     kappa = np.float32(kappa)
     inv2k = np.float32(0.5 / kappa)
     fW = np.float32(2 * np.pi) if winf else np.float32(W)
 
+    it = jax.lax.broadcasted_iota(jnp.int32, (N, N), 0)
+    ix = jax.lax.broadcasted_iota(jnp.int32, (N, N), 1)
+    parity = (it + ix) % 2
+
+    def links(m0, m1, dv0, dv1):
+        return (m0.astype(jnp.float32) - dv0 / fW,
+                m1.astype(jnp.float32) - dv1 / fW)
+
+    def vortex_pass(color, state):
+        m0, m1, v, dv0, dv1, acc = state
+        imask = jnp.where(parity == color, 1, 0)
+        if winf:
+            dvv = (2.0 * _uniform((N, N)) - 1.0) * np.float32(interval_v) \
+                * imask.astype(jnp.float32)
+        else:
+            dvv = _int_nonzero((N, N), interval_v) * imask
+        c0, c1 = _delta2(dvv)
+        c0f = c0.astype(jnp.float32) / fW
+        c1f = c1.astype(jnp.float32) / fW
+        l0, l1 = links(m0, m1, dv0, dv1)
+        t0 = inv2k * (-c0f) * (2.0 * l0 - c0f)
+        t1 = inv2k * (-c1f) * (2.0 * l1 - c1f)
+        dS = _coface(t0, t1)
+        accept = jnp.where(_uniform((N, N)) < _exp_neg(dS), 1, 0) * imask
+        applied = dvv * accept
+        a0, a1 = _delta2(applied)
+        v = v + applied
+        dv0 = dv0 + a0.astype(jnp.float32)
+        dv1 = dv1 + a1.astype(jnp.float32)
+        acc = acc + jnp.sum(accept.astype(jnp.float32))
+        return m0, m1, v, dv0, dv1, acc
+
+    def coexact_pass(color, state):
+        m0, m1, v, dv0, dv1, acc = state
+        imask = jnp.where(parity == color, 1, 0)
+        t = _int_nonzero((N, N), interval_t) * imask
+        c0, c1 = _delta2(t)
+        l0, l1 = links(m0, m1, dv0, dv1)
+        t0 = inv2k * c0.astype(jnp.float32) * (2.0 * l0 + c0.astype(jnp.float32))
+        t1 = inv2k * c1.astype(jnp.float32) * (2.0 * l1 + c1.astype(jnp.float32))
+        dS = _coface(t0, t1)
+        accept = jnp.where(_uniform((N, N)) < _exp_neg(dS), 1, 0) * imask
+        applied = t * accept
+        a0, a1 = _delta2(applied)
+        m0 = m0 + a0
+        m1 = m1 + a1
+        acc = acc + jnp.sum(accept.astype(jnp.float32))
+        return m0, m1, v, dv0, dv1, acc
+
+    def wrapping_pass(state):
+        m0, m1, v, dv0, dv1, acc = state
+        l0, l1 = links(m0, m1, dv0, dv1)
+        # mu = 0: one proposal per column (constant along axis 0).
+        c0 = jnp.broadcast_to(_int_nonzero((1, N), interval_w), (N, N))
+        dS0 = jnp.sum(inv2k * c0.astype(jnp.float32) * (2.0 * l0 + c0.astype(jnp.float32)),
+                      axis=0, keepdims=True)
+        acc0 = jnp.where(_uniform((1, N)) < _exp_neg(dS0), 1, 0)
+        m0 = m0 + c0 * jnp.broadcast_to(acc0, (N, N))
+        # mu = 1: one proposal per row (constant along axis 1).
+        c1 = jnp.broadcast_to(_int_nonzero((N, 1), interval_w), (N, N))
+        dS1 = jnp.sum(inv2k * c1.astype(jnp.float32) * (2.0 * l1 + c1.astype(jnp.float32)),
+                      axis=1, keepdims=True)
+        acc1 = jnp.where(_uniform((N, 1)) < _exp_neg(dS1), 1, 0)
+        m1 = m1 + c1 * jnp.broadcast_to(acc1, (N, N))
+        acc = acc + jnp.sum(acc0.astype(jnp.float32)) + jnp.sum(acc1.astype(jnp.float32))
+        return m0, m1, v, dv0, dv1, acc
+
+    def sweep(s, state):
+        state = vortex_pass(0, state)
+        state = vortex_pass(1, state)
+        state = coexact_pass(0, state)
+        state = coexact_pass(1, state)
+        state = wrapping_pass(state)
+        return state
+
+    return sweep
+
+
+def _make_kernel(N, kappa, W, interval_v, interval_t, interval_w, sweeps):
+    """Monolithic whole-lattice kernel (N ≤ 256): ``sweeps`` iterations of the
+    full local-update stack built by :func:`_monolithic_passes`."""
+
     def kernel(seed_ref, m_ref, v_ref, m_out, v_out, acc_out):
         chain = pl.program_id(0)
         pltpu.prng_seed(seed_ref[0] + chain * np.int32(2654435761 & 0x7FFFFFFF))
 
-        it = jax.lax.broadcasted_iota(jnp.int32, (N, N), 0)
-        ix = jax.lax.broadcasted_iota(jnp.int32, (N, N), 1)
-        parity = (it + ix) % 2
+        sweep = _monolithic_passes(N, kappa, W, interval_v, interval_t, interval_w)
 
         m0 = m_ref[0, 0]
         m1 = m_ref[0, 1]
@@ -74,77 +160,6 @@ def _make_kernel(N, kappa, W, interval_v, interval_t, interval_w, sweeps):
         dv0, dv1 = _delta2(v)
         dv0 = dv0.astype(jnp.float32)
         dv1 = dv1.astype(jnp.float32)
-
-        def links(m0, m1, dv0, dv1):
-            return (m0.astype(jnp.float32) - dv0 / fW,
-                    m1.astype(jnp.float32) - dv1 / fW)
-
-        def vortex_pass(color, state):
-            m0, m1, v, dv0, dv1, acc = state
-            imask = jnp.where(parity == color, 1, 0)
-            if winf:
-                dvv = (2.0 * _uniform((N, N)) - 1.0) * np.float32(interval_v) \
-                    * imask.astype(jnp.float32)
-            else:
-                dvv = _int_nonzero((N, N), interval_v) * imask
-            c0, c1 = _delta2(dvv)
-            c0f = c0.astype(jnp.float32) / fW
-            c1f = c1.astype(jnp.float32) / fW
-            l0, l1 = links(m0, m1, dv0, dv1)
-            t0 = inv2k * (-c0f) * (2.0 * l0 - c0f)
-            t1 = inv2k * (-c1f) * (2.0 * l1 - c1f)
-            dS = _coface(t0, t1)
-            accept = jnp.where(_uniform((N, N)) < _exp_neg(dS), 1, 0) * imask
-            applied = dvv * accept
-            a0, a1 = _delta2(applied)
-            v = v + applied
-            dv0 = dv0 + a0.astype(jnp.float32)
-            dv1 = dv1 + a1.astype(jnp.float32)
-            acc = acc + jnp.sum(accept.astype(jnp.float32))
-            return m0, m1, v, dv0, dv1, acc
-
-        def coexact_pass(color, state):
-            m0, m1, v, dv0, dv1, acc = state
-            imask = jnp.where(parity == color, 1, 0)
-            t = _int_nonzero((N, N), interval_t) * imask
-            c0, c1 = _delta2(t)
-            l0, l1 = links(m0, m1, dv0, dv1)
-            t0 = inv2k * c0.astype(jnp.float32) * (2.0 * l0 + c0.astype(jnp.float32))
-            t1 = inv2k * c1.astype(jnp.float32) * (2.0 * l1 + c1.astype(jnp.float32))
-            dS = _coface(t0, t1)
-            accept = jnp.where(_uniform((N, N)) < _exp_neg(dS), 1, 0) * imask
-            applied = t * accept
-            a0, a1 = _delta2(applied)
-            m0 = m0 + a0
-            m1 = m1 + a1
-            acc = acc + jnp.sum(accept.astype(jnp.float32))
-            return m0, m1, v, dv0, dv1, acc
-
-        def wrapping_pass(state):
-            m0, m1, v, dv0, dv1, acc = state
-            l0, l1 = links(m0, m1, dv0, dv1)
-            # mu = 0: one proposal per column (constant along axis 0).
-            c0 = jnp.broadcast_to(_int_nonzero((1, N), interval_w), (N, N))
-            dS0 = jnp.sum(inv2k * c0.astype(jnp.float32) * (2.0 * l0 + c0.astype(jnp.float32)),
-                          axis=0, keepdims=True)
-            acc0 = jnp.where(_uniform((1, N)) < _exp_neg(dS0), 1, 0)
-            m0 = m0 + c0 * jnp.broadcast_to(acc0, (N, N))
-            # mu = 1: one proposal per row (constant along axis 1).
-            c1 = jnp.broadcast_to(_int_nonzero((N, 1), interval_w), (N, N))
-            dS1 = jnp.sum(inv2k * c1.astype(jnp.float32) * (2.0 * l1 + c1.astype(jnp.float32)),
-                          axis=1, keepdims=True)
-            acc1 = jnp.where(_uniform((N, 1)) < _exp_neg(dS1), 1, 0)
-            m1 = m1 + c1 * jnp.broadcast_to(acc1, (N, N))
-            acc = acc + jnp.sum(acc0.astype(jnp.float32)) + jnp.sum(acc1.astype(jnp.float32))
-            return m0, m1, v, dv0, dv1, acc
-
-        def sweep(s, state):
-            state = vortex_pass(0, state)
-            state = vortex_pass(1, state)
-            state = coexact_pass(0, state)
-            state = coexact_pass(1, state)
-            state = wrapping_pass(state)
-            return state
 
         m0, m1, v, dv0, dv1, acc = jax.lax.fori_loop(
             0, sweeps, sweep, (m0, m1, v, dv0, dv1, jnp.float32(0.0)))

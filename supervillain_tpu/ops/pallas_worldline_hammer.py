@@ -1,0 +1,360 @@
+"""Pallas TPU kernels: the in-kernel Worldline worm, and the fused Worldline
+Hammer — local-update sweeps *and* worms in one launch.
+
+The reference treats the Worldline (dual) formulation as a first-class
+production stack whose preferred ergodic composite is
+Sequentially(Vortex, Coexact, Wrapping, Worm)
+(/root/reference/supervillain/generator/worldline/__init__.py:9-40, worm at
+worm.py:16-215).  The XLA :class:`~supervillain_tpu.generators.worldline
+.ClassicWorm` vmapped over a fleet pays (max worm length over chains) × (batch
+scatter latency) per step — the same pathology the Villain kernels solved in
+:mod:`.pallas_worm` / :mod:`.pallas_hammer`.  These kernels give the Worldline
+half the same treatment:
+
+* :func:`worldline_worms` — each chain's worm runs *sequentially inside one
+  program*: the link residuals u = m − δv/_W live in VMEM, each move is a
+  handful of scalar ops plus (1,1) dynamic loads/stores, and ``worms`` whole
+  worms run per launch with no cross-chain synchronization.
+* :func:`worldline_hammer_sweeps` — ``sweeps`` full local-update stacks
+  (checkerboarded Vortex + Coexact passes and a Wrapping pass, the
+  :func:`..pallas_worldline._monolithic_passes` bodies) followed by ``worms``
+  classic worms consuming the *same* VMEM-resident residuals: the complete
+  reference Hammer composition in one launch.
+
+Move semantics match the XLA worm (reference worm.py:121-174): the head moves
+to one of the 4 neighboring *sites*; a forward move +e_k crosses the link at
+the head with Δm = +orientation, a backward move −e_k crosses the link at the
+arrival site with Δm = −orientation; Metropolis on
+ΔS = (1/2κ) Δm (2u + Δm) of the crossed link; when head == tail a
+1/(2D+1)-conditional close move ends the worm; every non-close move tallies
+the head−tail displacement into the inline ``Spin_Spin`` histogram.  Worms run
+*unbounded* (no ``max_moves`` truncation needed — there is no cross-chain
+lock-step to protect), so the histogram carries no truncation bias.  The PRNG
+stream is the on-core hardware PRNG, so agreement with the XLA path is
+statistical, not bitwise.
+
+Works at any W **including W = ∞**: the worm only changes m (v and δv are
+frozen), and δm = 0 is restored at close for every W — at W = ∞ the residual
+uses _W = 2π and float v, exactly as the sweep kernels do.
+
+D=2 only (like the reference's 2D workloads; the XLA worm stays
+dimension-general).  Grid: one program per chain.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .pallas_sweep import _exp_neg, _roll
+from .pallas_worldline import _monolithic_passes, _delta2
+
+_GOLD = np.int32(2654435761 & 0x7FFFFFFF)
+
+
+def _worm_section(N, NP, kappa, worms, m_out, hist_ref, l0_s, l1_s):
+    """Trace ``worms`` sequential site-worms on the VMEM-resident residuals.
+
+    ``m_out``: (1, 2, N, NP) int32 output ref (updated in place);
+    ``hist_ref``: (1, N, NP) float32 Spin_Spin tally ref (pre-zeroed);
+    ``l0_s``/``l1_s``: (N, NP) float32 link-residual scratch u_mu = m_mu − (δv)_mu/_W.
+
+    Returns nothing; tallies live in ``hist_ref`` (total length = its sum).
+    """
+    inv2k = np.float32(0.5 / float(kappa))
+
+    # Per-choice tables: head moves +e0, +e1, −e0, −e1 (reference worm.py:126).
+    MOVE_T = (1, 0, -1, 0)
+    MOVE_X = (0, 1, 0, -1)
+    AXIS = (0, 1, 0, 1)
+    SGN = (1, 1, -1, -1)        # Δm = orientation · SGN on the crossed link
+    OFFL_T = (0, 0, -1, 0)      # crossed-link position − head (backward moves
+    OFFL_X = (0, 0, 0, -1)      # cross the link at the arrival site)
+
+    def pick(choice, table):
+        out = jnp.int32(table[0])
+        for c in (1, 2, 3):
+            out = jnp.where(choice == c, jnp.int32(table[c]), out)
+        return out
+
+    def draws():
+        bits = pltpu.bitcast(pltpu.prng_random_bits((8, 128)), jnp.int32)
+        return bits[0, 0], bits[0, 1], bits[0, 2], bits[0, 3]
+
+    def unif(w):
+        low24 = jax.lax.bitwise_and(w, jnp.int32(0x00FFFFFF))
+        return low24.astype(jnp.float32) * np.float32(2 ** -24)
+
+    def rand_site(w):
+        return jnp.floor(unif(w) * np.float32(N)).astype(jnp.int32)
+
+    # Mosaic allows dynamic single-row slices but lane-dim indices must be
+    # 128-aligned, so element access = row slice + lane mask.
+    lane1 = jax.lax.broadcasted_iota(jnp.int32, (1, NP), 1)
+
+    def load1(ref, i, j):
+        row = ref[pl.ds(i, 1), :]
+        return jnp.sum(jnp.where(lane1 == j, row, jnp.zeros_like(row)))
+
+    def add1(ref, i, j, val):
+        row = ref[pl.ds(i, 1), :]
+        ref[pl.ds(i, 1), :] = row + jnp.where(lane1 == j, val, jnp.zeros_like(row))
+
+    def worm_body(w, carry):
+        w0, w1, w2, _ = draws()
+        orientation = jnp.where(w0 > 0, jnp.float32(1), jnp.float32(-1))
+        tail_t = rand_site(w1)
+        tail_x = rand_site(w2)
+        # The worldline worm always starts closed at its tail (an open worm
+        # violates δm = 0 at head/tail for every W — reference worm.py:104).
+
+        def cond(state):
+            return state[0] == 0
+
+        def body(state):
+            _, head_t, head_x = state
+            c0, c1, c2, _ = draws()
+            u_close = unif(c0)
+            choice = jax.lax.bitwise_and(c1, jnp.int32(3))
+            u_acc = unif(c2)
+
+            closed = (head_t == tail_t) & (head_x == tail_x)
+            close_now = closed & (u_close < np.float32(0.2))  # 1/(2D+1), D=2
+
+            next_t = jax.lax.rem(head_t + pick(choice, MOVE_T) + N, jnp.int32(N))
+            next_x = jax.lax.rem(head_x + pick(choice, MOVE_X) + N, jnp.int32(N))
+            ax = pick(choice, AXIS)
+            lt = jax.lax.rem(head_t + pick(choice, OFFL_T) + N, jnp.int32(N))
+            lx = jax.lax.rem(head_x + pick(choice, OFFL_X) + N, jnp.int32(N))
+            dm = orientation * pick(choice, SGN).astype(jnp.float32)
+
+            link_val = jnp.where(ax == 0, load1(l0_s, lt, lx), load1(l1_s, lt, lx))
+            dS = inv2k * dm * (2.0 * link_val + dm)
+            accept = (u_acc < _exp_neg(dS)) & ~close_now
+            dmi = dm.astype(jnp.int32)
+
+            @pl.when(accept & (ax == 0))
+            def _():
+                add1(m_out.at[0, 0], lt, lx, dmi)
+                add1(l0_s, lt, lx, dm)
+
+            @pl.when(accept & (ax == 1))
+            def _():
+                add1(m_out.at[0, 1], lt, lx, dmi)
+                add1(l1_s, lt, lx, dm)
+
+            head_t = jnp.where(accept, next_t, head_t)
+            head_x = jnp.where(accept, next_x, head_x)
+
+            @pl.when(~close_now)
+            def _():
+                dt = jax.lax.rem(head_t - tail_t + N, jnp.int32(N))
+                dx = jax.lax.rem(head_x - tail_x + N, jnp.int32(N))
+                add1(hist_ref.at[0], dt, dx, np.float32(1.0))
+
+            return (jnp.where(close_now, jnp.int32(1), jnp.int32(0)),
+                    head_t, head_x)
+
+        jax.lax.while_loop(cond, body, (jnp.int32(0), tail_t, tail_x))
+        return carry
+
+    jax.lax.fori_loop(0, worms, worm_body, jnp.int32(0))
+
+
+def _make_worm_kernel(N, NP, kappa, worms):
+    """Standalone worldline-worm kernel: inputs m and the host-computed link
+    residual u = m − δv/_W (so the kernel is W-agnostic)."""
+
+    def kernel(seed_ref, m_ref, u_ref, m_out, hist_ref, stat_ref, l0_s, l1_s):
+        chain = pl.program_id(0)
+        pltpu.prng_seed(seed_ref[0] + chain * _GOLD)
+
+        m_out[0, 0] = m_ref[0, 0]
+        m_out[0, 1] = m_ref[0, 1]
+        hist_ref[0] = jnp.zeros((N, NP), jnp.float32)
+        l0_s[:] = u_ref[0, 0]
+        l1_s[:] = u_ref[0, 1]
+
+        _worm_section(N, NP, kappa, worms, m_out, hist_ref, l0_s, l1_s)
+
+        length = jnp.sum(hist_ref[0])
+        stat_ref[0] = jnp.concatenate([
+            jnp.full((1, 128), length, jnp.float32),
+            jnp.full((1, 128), np.float32(worms), jnp.float32),
+            jnp.zeros((6, 128), jnp.float32),
+        ], axis=0)
+
+    return kernel
+
+
+@partial(jax.jit, static_argnames=('N', 'kappa', 'W', 'worms', 'interpret'))
+def worldline_worms(seed, m, v, *, N, kappa, W, worms=1, interpret=False):
+    """Run ``worms`` whole worldline classic worms per chain in one launch.
+
+    Parameters
+    ----------
+    seed: int32 ()
+    m: (B, 2, N, N) int32
+    v: (B, 1, N, N) int32 (finite W) or float32 (W = inf) — read-only (δv/_W
+       enters the link residual; the worm never changes v)
+
+    Returns
+    -------
+    (m, hist, length): updated links (B, 2, N, N) with δm = 0 restored, the
+    summed inline ``Spin_Spin`` histogram (B, N, N) f32, and total worm length
+    (B,).
+    """
+    B = m.shape[0]
+    fW = np.float32(2 * np.pi) if W == float('inf') else np.float32(W)
+    vv = v[:, 0].astype(jnp.float32)
+    # δ of the 2-form component (host-side, XLA): (δv)_0 = v − roll(v, +1, x);
+    # (δv)_1 = −(v − roll(v, +1, t)) — the same stencil as the kernels'.
+    dv0 = vv - jnp.roll(vv, 1, axis=2)
+    dv1 = -(vv - jnp.roll(vv, 1, axis=1))
+    u = jnp.stack([m[:, 0].astype(jnp.float32) - dv0 / fW,
+                   m[:, 1].astype(jnp.float32) - dv1 / fW], axis=1)
+
+    NP = max(N, 128)
+    m_in = m.astype(jnp.int32)
+    if NP != N:
+        padding = [(0, 0)] * 3 + [(0, NP - N)]
+        m_in = jnp.pad(m_in, padding)
+        u = jnp.pad(u, padding)
+
+    kernel = _make_worm_kernel(N, NP, kappa, worms)
+    f_spec = pl.BlockSpec((1, 2, N, NP), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM)
+    m_out, hist, stat = pl.pallas_call(
+        kernel,
+        grid=(B,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM), f_spec, f_spec],
+        out_specs=(f_spec,
+                   pl.BlockSpec((1, N, NP), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+                   pl.BlockSpec((1, 8, 128), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)),
+        out_shape=(jax.ShapeDtypeStruct((B, 2, N, NP), jnp.int32),
+                   jax.ShapeDtypeStruct((B, N, NP), jnp.float32),
+                   jax.ShapeDtypeStruct((B, 8, 128), jnp.float32)),
+        scratch_shapes=[pltpu.VMEM((N, NP), jnp.float32),
+                        pltpu.VMEM((N, NP), jnp.float32)],
+        interpret=interpret,
+    )(jnp.asarray(seed, jnp.int32).reshape(1), m_in, u)
+    return m_out[..., :N], hist[..., :N], stat[:, 0, 0]
+
+
+def _make_hammer_kernel(N, kappa, W, interval_v, interval_t, interval_w,
+                        sweeps, worms):
+    winf = (W == float('inf'))
+    inv2k = np.float32(0.5 / float(kappa))
+    fW = np.float32(2 * np.pi) if winf else np.float32(W)
+
+    def kernel(seed_ref, m_ref, v_ref, m_out, v_out, hist_ref, stat_ref,
+               l0_s, l1_s):
+        chain = pl.program_id(0)
+        pltpu.prng_seed(seed_ref[0] + chain * _GOLD)
+
+        sweep = _monolithic_passes(N, kappa, W, interval_v, interval_t, interval_w)
+
+        m0 = m_ref[0, 0]
+        m1 = m_ref[0, 1]
+        v = v_ref[0, 0]
+        dv0, dv1 = _delta2(v)
+        dv0 = dv0.astype(jnp.float32)
+        dv1 = dv1.astype(jnp.float32)
+
+        # ---- section 1: vortex/coexact/wrapping sweeps ---------------------
+        def sweep2(s, st):
+            m0, m1, v, dv0, dv1, acc, sS = st
+            m0, m1, v, dv0, dv1, acc = sweep(s, (m0, m1, v, dv0, dv1, acc))
+            # Inline ActionDensity (1/2κ)Σ(m − δv/_W)²/Λ once per sweep while
+            # the state is hot in VMEM.
+            l0 = m0.astype(jnp.float32) - dv0 / fW
+            l1 = m1.astype(jnp.float32) - dv1 / fW
+            sS = sS + inv2k * (jnp.sum(l0 * l0) + jnp.sum(l1 * l1)) \
+                * np.float32(1.0 / (N * N))
+            return m0, m1, v, dv0, dv1, acc, sS
+
+        m0, m1, v, dv0, dv1, acc, sS = jax.lax.fori_loop(
+            0, sweeps, sweep2,
+            (m0, m1, v, dv0, dv1, jnp.float32(0.0), jnp.float32(0.0)))
+
+        m_out[0, 0] = m0
+        m_out[0, 1] = m1
+        v_out[0, 0] = v
+        hist_ref[0] = jnp.zeros((N, N), jnp.float32)
+        l0_s[:] = m0.astype(jnp.float32) - dv0 / fW
+        l1_s[:] = m1.astype(jnp.float32) - dv1 / fW
+
+        # ---- section 2: classic worms on the resident residuals ------------
+        _worm_section(N, N, kappa, worms, m_out, hist_ref, l0_s, l1_s)
+
+        length = jnp.sum(hist_ref[0])
+        stat_ref[0] = jnp.concatenate([
+            jnp.full((1, 128), acc, jnp.float32),
+            jnp.full((1, 128), sS, jnp.float32),
+            jnp.full((1, 128), length, jnp.float32),
+            jnp.zeros((5, 128), jnp.float32),
+        ], axis=0)
+
+    return kernel
+
+
+@partial(jax.jit, static_argnames=('N', 'kappa', 'W', 'interval_v', 'interval_t',
+                                   'interval_w', 'sweeps', 'worms', 'interpret'))
+def worldline_hammer_sweeps(seed, m, v, *, N, kappa, W, interval_v=1,
+                            interval_t=1, interval_w=1, sweeps=1, worms=1,
+                            interpret=False):
+    """Run ``sweeps`` fused worldline local-update stacks followed by ``worms``
+    classic worms per chain, in one Pallas launch — the complete reference
+    worldline Hammer (vortex + coexact + wrapping + worm) as one program.
+
+    Parameters
+    ----------
+    seed: int32 ()
+    m: (B, 2, N, N) int32
+    v: (B, 1, N, N) int32 (finite W) or float32 (W = inf)
+
+    Returns
+    -------
+    (m, v, accepted, inline): updated fields, per-chain accepted sweep-move
+    counts (B,), and inline observables: per-sweep-averaged ``ActionDensity``,
+    the worm ``Spin_Spin`` histogram (B, N, N), and ``Worm_Length`` (B,).
+    """
+    if N % 128 != 0:
+        raise ValueError('worldline_hammer_sweeps needs N to be a multiple of '
+                         '128 (the worm section addresses whole 128-lane '
+                         'tiles); compose worldline_sweeps + worldline_worms '
+                         'for other sizes.')
+    if N > 256:
+        raise ValueError('worldline_hammer_sweeps uses the monolithic sweep '
+                         'body (N <= 256); compose worldline_sweeps (strip '
+                         'kernel) + worldline_worms above that.')
+    B = m.shape[0]
+    vdt = jnp.float32 if W == float('inf') else jnp.int32
+    v = v.astype(vdt)
+    kernel = _make_hammer_kernel(N, kappa, W, interval_v, interval_t,
+                                 interval_w, sweeps, worms)
+    m_spec = pl.BlockSpec((1, 2, N, N), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM)
+    v_spec = pl.BlockSpec((1, 1, N, N), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM)
+    out_m, out_v, hist, stat = pl.pallas_call(
+        kernel,
+        grid=(B,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM), m_spec, v_spec],
+        out_specs=(m_spec, v_spec,
+                   pl.BlockSpec((1, N, N), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+                   pl.BlockSpec((1, 8, 128), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)),
+        out_shape=(jax.ShapeDtypeStruct(m.shape, jnp.int32),
+                   jax.ShapeDtypeStruct(v.shape, vdt),
+                   jax.ShapeDtypeStruct((B, N, N), jnp.float32),
+                   jax.ShapeDtypeStruct((B, 8, 128), jnp.float32)),
+        scratch_shapes=[pltpu.VMEM((N, N), jnp.float32),
+                        pltpu.VMEM((N, N), jnp.float32)],
+        interpret=interpret,
+    )(jnp.asarray(seed, jnp.int32).reshape(1), m.astype(jnp.int32), v)
+    inline = {'ActionDensity': stat[:, 1, 0] / sweeps,
+              'Spin_Spin': hist,
+              'Worm_Length': stat[:, 2, 0]}
+    return out_m, out_v, stat[:, 0, 0], inline

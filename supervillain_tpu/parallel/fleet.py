@@ -92,19 +92,39 @@ class Fleet:
                    np.asarray(group['index']), np.asarray(group['weight']))
 
 
-def _bounded_worms(generator, action, chains):
-    """Fleet safety: a bare (unbounded) ClassicWorm vmapped over many chains at
-    W>1 makes every step wait for the slowest chain's worm — the measured
-    pathology is an effectively unbounded max-over-chains excursion (see
-    docs/performance.md).  Rebuild the generator tree with a capped worm
-    (``max_moves`` truncation is an exact kernel; see ClassicWorm docstrings)
-    and warn loudly.  Trees without an unbounded worm pass through unchanged."""
+# An unbounded ClassicWorm vmapped over a fleet makes every step wait for the
+# slowest chain's excursion (max-over-chains, not mean — see docs/performance.md).
+# The max of `chains` draws from the worm-length distribution grows without
+# bound near criticality (power-law tails), and already at ~8 chains the
+# max/mean penalty is measurable for the exponential-tail case, so the floor is
+# deliberately conservative and W-independent (the pathology does not care
+# about W; the old `chains <= N` escape let a 64-chain L=64 W=2 fleet through).
+_WORM_BOUND_FLOOR = 8
+
+
+def _bounded_worms(generator, action, chains, policy):
+    """Fleet worm-bounding policy.
+
+    ``policy='raise'`` (default): finding a bare (unbounded) ClassicWorm in the
+    tree with ``chains >= _WORM_BOUND_FLOOR`` is an error — silently rewriting
+    the user's generator tree would change the transition kernel (and any
+    persisted generator description) without consent.  The error says exactly
+    what to pass instead.
+
+    ``policy='auto'``: rebuild the tree with ``ClassicWorm(max_moves=8·sites)``
+    (an exact bounded kernel — truncated worms roll back) and warn.
+
+    ``policy='off'``: pass through unchanged (expert opt-out, e.g. exactness
+    tests of the unbounded kernel itself on tiny lattices)."""
     import logging
     from ..generators.combining import Sequentially, KeepEvery
     from ..generators.monitor import Logger
     from ..generators import villain as gvillain, worldline as gworldline
 
-    if action.W == 1 or chains <= action.Lattice.N:
+    if policy not in ('raise', 'auto', 'off'):
+        raise ValueError(f"bound_worms must be 'raise', 'auto', or 'off', "
+                         f'got {policy!r}')
+    if policy == 'off' or chains < _WORM_BOUND_FLOOR:
         return generator
 
     cap = 8 * action.Lattice.sites
@@ -125,29 +145,42 @@ def _bounded_worms(generator, action, chains):
         return g
 
     rebuilt = rebuild(generator)
-    if changed:
-        logging.getLogger(__name__).warning(
-            f'Unbounded ClassicWorm vmapped over {chains} chains at W={action.W}: '
-            f'every fleet step would wait for the slowest chain\'s worm. '
-            f'Substituting ClassicWorm(max_moves={cap}) — an exact bounded kernel '
-            f'(truncated worms roll back). Pass Hammer(..., fleet=True) or '
-            f'ClassicWorm(max_moves=...) explicitly to silence this.')
-        return rebuilt
-    return generator
+    if not changed:
+        return generator
+    if policy == 'raise':
+        raise ValueError(
+            f'Unbounded ClassicWorm vmapped over {chains} chains: every fleet '
+            f'step would wait for the slowest chain\'s worm (max-over-chains, '
+            f'not mean).  Pass Hammer(..., fleet=True) or '
+            f'ClassicWorm(max_moves=...) to bound it explicitly, '
+            f"sample_fleet(..., bound_worms='auto') to let the fleet "
+            f'substitute ClassicWorm(max_moves={cap}) (an exact bounded '
+            f"kernel), or bound_worms='off' to run unbounded anyway.")
+    logging.getLogger(__name__).warning(
+        f'Unbounded ClassicWorm vmapped over {chains} chains: substituting '
+        f'ClassicWorm(max_moves={cap}) — an exact bounded kernel (truncated '
+        f'worms roll back).  Pass Hammer(..., fleet=True) or '
+        f'ClassicWorm(max_moves=...) explicitly to silence this.')
+    return rebuilt
 
 
 def sample_fleet(action, generator, *, chains, steps, thin=1, seed=0, mesh=None,
-                 start='cold', keep_fields=True, progress=None):
+                 start='cold', keep_fields=True, progress=None, bound_worms='raise'):
     """Sample ``chains`` independent chains for ``steps`` kept configurations, each
     separated by ``thin`` generator applications.
 
     Returns a :class:`Fleet`.  With a mesh, chains are sharded across devices and the
     whole fleet advances as a single SPMD program.
+
+    ``bound_worms`` governs what happens when the generator tree contains an
+    unbounded ClassicWorm (see :func:`_bounded_worms`): ``'raise'`` (default)
+    errors with the explicit alternatives, ``'auto'`` substitutes an exact
+    ``max_moves``-capped worm with a warning, ``'off'`` runs it as given.
     """
     if mesh is None and len(jax.devices()) > 1:
         mesh = chain_mesh()
 
-    generator = _bounded_worms(generator, action, chains)
+    generator = _bounded_worms(generator, action, chains, bound_worms)
 
     key = seed if isinstance(seed, jax.Array) else jax.random.key(seed)
 

@@ -1,11 +1,17 @@
 """Pod-scale sampling with the Pallas-fused kernels.
 
-``sample_fused_fleet`` drives the fused Villain neighborhood kernel over a large
-chain batch: each kernel launch advances every chain ``thin`` sweeps entirely in
-VMEM and returns blocked inline observables (ActionDensity, WindingSquared)
-measured in-kernel; kept configurations stream to the host.  This is the
-BASELINE-shape workload — thousands of chains, inline observables at scale, HDF5
-output via :class:`~.fleet.Fleet`.
+``sample_fused_fleet`` drives the fused kernels over a large chain batch: each
+kernel launch advances every chain ``thin`` sweeps entirely in VMEM and returns
+blocked inline observables measured in-kernel; kept configurations stream to
+the host.  This is the BASELINE-shape workload — thousands of chains, inline
+observables at scale, HDF5 output via :class:`~.fleet.Fleet`.
+
+Both formulations are first-class (the reference treats them symmetrically,
+/root/reference/supervillain/generator/worldline/__init__.py:9-40): pass a
+:class:`~supervillain_tpu.models.Villain` action to drive the neighborhood /
+Hammer kernels over (φ, n), or a :class:`~supervillain_tpu.models.Worldline`
+action to drive the vortex+coexact+wrapping / worldline-Hammer kernels over
+(m, v).
 
 With a ``mesh`` the chain batch is sharded over the mesh's ``chains`` axis and
 every device runs the kernel on its local shard under ``jax.shard_map`` (grid
@@ -23,6 +29,7 @@ import jax.numpy as jnp
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from .fleet import Fleet
+from ..models import Worldline
 
 
 def _fused_launch(action, *, N, thin, interval_phi, interval_n, p_n,
@@ -35,13 +42,59 @@ def _fused_launch(action, *, N, thin, interval_phi, interval_n, p_n,
     (sweeps + in-kernel worms in one launch) and adds the worm's
     Vortex_Vortex/Worm_Length to the inline outputs."""
     W = action.W if action.W == float('inf') else int(action.W)
+    if isinstance(action, Worldline):
+        winf = W == float('inf')
+        inv2k = np.float32(0.5 / float(action.kappa))
+        if worms > 0:
+            from ..ops.pallas_worldline_hammer import worldline_hammer_sweeps
+            kernel = partial(worldline_hammer_sweeps,
+                             N=N, kappa=action.kappa, W=W, sweeps=thin,
+                             worms=int(worms), interpret=interpret)
+            inline_keys = ('ActionDensity', 'Spin_Spin', 'Worm_Length')
+        else:
+            from ..ops.pallas_worldline import worldline_sweeps
+
+            def kernel(seed, m, v):
+                m, v, acc = worldline_sweeps(
+                    seed, m, v, N=N, kappa=action.kappa, W=W, sweeps=thin,
+                    interpret=interpret)
+                # The sweep kernel returns no inline columns; measure the
+                # action density from the kept state (one cheap XLA op).
+                fW = np.float32(2 * np.pi) if winf else np.float32(W)
+                vv = v[:, 0].astype(jnp.float32)
+                dv0 = vv - jnp.roll(vv, 1, axis=2)
+                dv1 = -(vv - jnp.roll(vv, 1, axis=1))
+                l0 = m[:, 0].astype(jnp.float32) - dv0 / fW
+                l1 = m[:, 1].astype(jnp.float32) - dv1 / fW
+                ad = inv2k * (jnp.sum(l0 * l0, axis=(1, 2))
+                              + jnp.sum(l1 * l1, axis=(1, 2))) / np.float32(N * N)
+                return m, v, acc, {'ActionDensity': ad}
+            inline_keys = ('ActionDensity',)
+        if mesh is None:
+            return kernel
+
+        def local(seed, m, v):
+            seed = seed + jax.lax.axis_index('chains') * jnp.int32(7919 * 2053)
+            return kernel(seed, m, v)
+
+        inline_spec = {k: P('chains') for k in inline_keys}
+        return jax.shard_map(
+            local, mesh=mesh,
+            in_specs=(P(), P('chains'), P('chains')),
+            out_specs=(P('chains'), P('chains'), P('chains'), inline_spec),
+            check_vma=False)
     if worms > 0 and kernel_fn is None:
+        # At W=∞ the hammer kernel runs z-mode sweeps with the worm section
+        # kept (closed worms preserve dn = 0 exactly; wrapping worms sample the
+        # integer winding sectors pure z-mode sweeps freeze).
         from ..ops.pallas_hammer import hammer_sweeps
         kernel = partial(hammer_sweeps,
                          N=N, kappa=action.kappa, W=W,
                          interval_phi=float(interval_phi), interval_n=int(interval_n),
                          p_n=None if p_n is None else float(p_n),
-                         sweeps=thin, worms=int(worms), interpret=interpret)
+                         sweeps=thin, worms=int(worms),
+                         chains_per_program=chains_per_program,
+                         interpret=interpret)
         inline_keys = ('ActionDensity', 'WindingSquared', 'Vortex_Vortex',
                        'Worm_Length')
     else:
@@ -82,8 +135,10 @@ def sample_fused_fleet(action, *, chains, steps, thin=10, seed=0,
 
     ``worms > 0`` runs the fused Hammer kernel instead: every record's ``thin``
     sweeps are followed by that many in-kernel classic worms per chain, whose
-    inline ``Vortex_Vortex`` histogram and ``Worm_Length`` become additional
-    fleet columns (requires N a multiple of 128, finite W).
+    inline worm histogram (``Vortex_Vortex`` for Villain, ``Spin_Spin`` for
+    Worldline) and ``Worm_Length`` become additional fleet columns (requires N
+    a multiple of 128; the Villain hammer additionally needs finite W — the
+    Worldline hammer runs at any W including ∞).
     """
     L = action.Lattice
     N = L.N
@@ -93,8 +148,14 @@ def sample_fused_fleet(action, *, chains, steps, thin=10, seed=0,
         raise ValueError(f'{chains} chains not divisible by '
                          f'{mesh.devices.size} mesh devices')
 
-    phi = jnp.zeros((chains, 1, N, N), jnp.float32)
-    n = jnp.zeros((chains, 2, N, N), jnp.int32)
+    worldline = isinstance(action, Worldline)
+    if worldline:
+        vdt = jnp.float32 if action.W == float('inf') else jnp.int32
+        phi = jnp.zeros((chains, 2, N, N), jnp.int32)   # m
+        n = jnp.zeros((chains, 1, N, N), vdt)           # v
+    else:
+        phi = jnp.zeros((chains, 1, N, N), jnp.float32)
+        n = jnp.zeros((chains, 2, N, N), jnp.int32)
     if mesh is not None:
         sharding = NamedSharding(mesh, P('chains'))
         phi = jax.device_put(phi, sharding)
@@ -109,12 +170,13 @@ def sample_fused_fleet(action, *, chains, steps, thin=10, seed=0,
     columns = None
     total_accepted = 0.0
     iterator = range(steps) if progress is None else progress(range(steps))
+    f0, f1 = ('m', 'v') if worldline else ('phi', 'n')
     for i in iterator:
         phi, n, acc, inline = launch(jnp.int32(rng.integers(0, 2 ** 31 - 1)), phi, n)
         record = {k: np.asarray(v) for k, v in inline.items()}
         if keep_fields:
-            record['phi'] = np.asarray(phi)
-            record['n'] = np.asarray(n)
+            record[f0] = np.asarray(phi)
+            record[f1] = np.asarray(n)
         total_accepted += float(jnp.sum(acc))
         if columns is None:
             columns = {k: np.empty((steps,) + v.shape, dtype=v.dtype)
@@ -122,12 +184,14 @@ def sample_fused_fleet(action, *, chains, steps, thin=10, seed=0,
         for k, v in record.items():
             columns[k][i] = v
 
-    stats = {'NeighborhoodUpdate': {
+    proposals = chains * ((2 * L.sites + 2 * N) if worldline else L.sites) \
+        * thin * steps
+    stats = {('WorldlineLocalUpdates' if worldline else 'NeighborhoodUpdate'): {
         'accepted': np.float64(total_accepted),
-        'proposed': np.float64(chains * L.sites * thin * steps),
-        'acceptance': np.float64(total_accepted / (chains * L.sites * thin * steps)),
+        'proposed': np.float64(proposals),
+        'acceptance': np.float64(total_accepted / proposals),
         'sweeps': np.float64(thin * steps),
     }}
-    final = {'phi': np.asarray(phi), 'n': np.asarray(n)}
+    final = {f0: np.asarray(phi), f1: np.asarray(n)}
     index = thin * (1 + np.arange(steps))
     return Fleet(action, columns, stats, final, index)

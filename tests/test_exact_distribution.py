@@ -50,7 +50,10 @@ def test_worldline_hammer_samples_exact_distribution():
     keys = [f.tobytes() for f in forms.astype(np.int8)]
     prob_of = dict(zip(keys, probs))
 
-    fleet = sample_fleet(S, gw.Hammer(S), chains=48, steps=120, thin=4, seed=7)
+    # bound_worms='off': this test exercises the *unbounded* worm kernel itself
+    # (2x2 lattice, worm lengths are tiny — no max-over-chains concern).
+    fleet = sample_fleet(S, gw.Hammer(S), chains=48, steps=120, thin=4, seed=7,
+                         bound_worms='off')
     cut = 20  # thermalization (in kept records)
     m = fleet.columns['m'][cut:].reshape(-1, 2, 2, 2)
     v = fleet.columns['v'][cut:].reshape(-1, 1, 2, 2)
@@ -159,7 +162,8 @@ def test_villain_worm_samples_exact_distribution(worm):
     probs = weights / weights.sum()
     prob_of = dict(zip((f.tobytes() for f in forms.astype(np.int8)), probs))
 
-    fleet = sample_fleet(S, G, chains=64, steps=100, thin=4, seed=11)
+    fleet = sample_fleet(S, G, chains=64, steps=100, thin=4, seed=11,
+                         bound_worms='off')
     cut = 20
     ns = fleet.columns['n'][cut:].reshape(-1, 2, 2, 2).astype(np.int8)
     assert np.abs(ns).max() <= 3, 'sampled n far outside enumeration cutoff'
@@ -211,7 +215,8 @@ def test_villain_worm_w2_exact_distribution(cap, thin):
     probs = weights / weights.sum()
     prob_of = dict(zip((f.tobytes() for f in forms.astype(np.int8)), probs))
 
-    fleet = sample_fleet(S, G, chains=64, steps=100, thin=thin, seed=13)
+    fleet = sample_fleet(S, G, chains=64, steps=100, thin=thin, seed=13,
+                         bound_worms='off')
     cut = 20
     ns = fleet.columns['n'][cut:].reshape(-1, 2, 2, 2).astype(np.int8)
 

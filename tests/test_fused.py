@@ -104,11 +104,21 @@ def test_fused_hammer_fallback_runs_and_specs():
     assert G2.worms == 2 and G2.sweeps_per_step == 3 and G2.p_n == 0.25
 
 
-def test_fused_hammer_rejects_w_inf():
+def test_fused_hammer_winf_falls_back_to_exact_stack():
+    """At W=∞ the Hammer runs z-mode sweeps + worms (closed worms preserve
+    dn = 0 exactly); the CPU fallback composes ExactNeighborhoodUpdate with
+    the W-agnostic ClassicWorm."""
     from supervillain_tpu.generators.villain_fused import FusedHammer
-    S = sv.Villain(sv.Lattice2D(4), 0.5, W=float('inf'))
-    with pytest.raises(ValueError):
-        FusedHammer(S)
+    S = sv.Villain(sv.Lattice2D(4), 0.5 / np.pi, W=float('inf'))
+    G = FusedHammer(S, worms=1)
+    assert G._fallback is not None
+    names = [type(g).__name__ for g in G._fallback.generators]
+    assert 'ExactNeighborhoodUpdate' in names and 'ClassicWorm' in names
+    e = sv.Ensemble(S).generate(10, G, seed=8)
+    from supervillain_tpu.ops import calculus as calc
+    for i in range(10):
+        dn = np.asarray(calc.d(S.Lattice, 1, e.n[i]))
+        assert np.abs(dn).max() == 0  # dn = 0 exact at W=inf
 
 
 def test_fused_hammer_not_sequentially_composable():
@@ -120,3 +130,40 @@ def test_fused_hammer_not_sequentially_composable():
     S = sv.Villain(sv.Lattice2D(4), 0.5, W=1)
     with pytest.raises(ValueError, match='self-contained composite'):
         Sequentially([FusedHammer(S), gv.CohomologyUpdate(S)])
+
+
+def test_worldline_fused_worm_falls_back_on_cpu():
+    from supervillain_tpu.generators import FusedWorldlineWorm
+    S = sv.Worldline(sv.Lattice2D(4), 0.5, W=2)
+    G = FusedWorldlineWorm(S)
+    assert G._fallback is not None
+    e = sv.Ensemble(S).generate(20, G, seed=5)
+    for i in range(0, 20, 4):
+        assert S.valid({'m': e.m[i]})
+    # Inline worm observables flow through the fallback too.
+    assert np.asarray(e.Spin_Spin).shape == (20, 4, 4)
+
+
+def test_worldline_fused_hammer_falls_back_on_cpu():
+    from supervillain_tpu.generators import FusedWorldlineHammer
+    S = sv.Worldline(sv.Lattice2D(4), 0.5, W=2)
+    G = FusedWorldlineHammer(S, sweeps_per_step=2, worms=1)
+    assert G._fallback is not None
+    e = sv.Ensemble(S).generate(10, G, seed=6)
+    for i in range(10):
+        assert S.valid({'m': e.m[i]})
+    # The fallback composes the full reference Hammer stack.
+    names = [type(g).__name__ for g in G._fallback.generators]
+    assert names == ['VortexUpdate', 'CoexactUpdate', 'WrappingUpdate',
+                     'ClassicWorm']
+
+
+def test_worldline_fused_hammer_winf_fallback():
+    from supervillain_tpu.generators import FusedWorldlineHammer
+    S = sv.Worldline(sv.Lattice2D(4), 0.5 / np.pi, W=float('inf'))
+    G = FusedWorldlineHammer(S, interval_v=0.5)
+    assert G._fallback is not None
+    e = sv.Ensemble(S).generate(10, G, seed=7)
+    for i in range(10):
+        assert S.valid({'m': e.m[i]})
+    assert np.abs(np.asarray(e.v)).max() > 0  # float v moved

@@ -17,8 +17,8 @@ def test_eight_virtual_devices():
 
 def test_fleet_shapes_and_validity():
     S = sv.Villain(sv.Lattice2D(4), 0.5, W=1)
-    fleet = sample_fleet(S, gv.Hammer(S), chains=16, steps=5, thin=2, seed=3,
-                         mesh=chain_mesh())
+    fleet = sample_fleet(S, gv.Hammer(S, fleet=True), chains=16, steps=5, thin=2,
+                         seed=3, mesh=chain_mesh())
     assert fleet.columns['phi'].shape == (5, 16, 1, 4, 4)
     assert fleet.chains == 16
     for c in range(0, 16, 5):
@@ -44,7 +44,8 @@ def test_fleet_stats_aggregate_over_chains():
 
 def test_fleet_ensemble_views_and_pooling():
     S = sv.Worldline(sv.Lattice2D(4), 0.5, W=2)
-    fleet = sample_fleet(S, gw.Hammer(S), chains=8, steps=6, seed=9, mesh=chain_mesh())
+    fleet = sample_fleet(S, gw.Hammer(S, fleet=True), chains=8, steps=6, seed=9,
+                         mesh=chain_mesh())
     e0 = fleet.ensemble(0)
     assert len(e0) == 6
     assert np.isfinite(np.asarray(e0.ActionDensity)).all()
@@ -66,32 +67,75 @@ def test_fleet_h5_roundtrip(tmp_path):
     assert back.Action == S
 
 
-def test_chain_space_mesh_spmd_step():
-    """2-D (chains × space) sharding: XLA partitions the roll stencils with
-    collective permutes; one full Hammer step compiles and runs."""
+def test_chain_space_mesh_sharded_equals_unsharded():
+    """2-D (chains × space) sharding is *provably* correct, not just runnable:
+    ``jax.random`` results are independent of device layout, and every update
+    in the Hammer step is deterministic, so the space-sharded step must produce
+    **bitwise identical fields** to the unsharded step from the same key.  At
+    W=2 the dn ≡ 0 (mod 2) constraint is non-trivial, so a halo-math bug in
+    the partitioned roll stencils would corrupt the fields and fail this
+    equality (the old W=1 `valid()` assertion was vacuous — dn ≡ 0 mod 1
+    always holds)."""
     mesh = chain_space_mesh(2, 4)
-    S = sv.Villain(sv.Lattice2D(8), 0.5, W=1)
-    G = gv.Hammer(S)
+    S = sv.Villain(sv.Lattice2D(8), 0.5, W=2)
+    G = gv.Hammer(S, fleet=True)
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     chains = 4
-    cfg0 = S.initial()
-    cfgs = jax.tree.map(lambda x: jnp.broadcast_to(x, (chains,) + x.shape), cfg0)
-    cfgs = {k: jax.device_put(v, NamedSharding(mesh, P('chains', None, None, 'space')))
-            for k, v in cfgs.items()}
-    stats = jax.tree.map(lambda x: jnp.broadcast_to(x, (chains,) + x.shape), G.init_stats())
 
-    @jax.jit
-    def step(key, cfgs, stats):
-        keys = jax.vmap(lambda i: jax.random.fold_in(key, i))(jnp.arange(chains))
-        def one(k, c, s):
-            c, s, _ = G.step(k, c, s)
-            return c, s
-        return jax.vmap(one)(keys, cfgs, stats)
+    def run(shard):
+        cfg0 = S.initial()
+        cfgs = jax.tree.map(lambda x: jnp.broadcast_to(x, (chains,) + x.shape), cfg0)
+        stats = jax.tree.map(lambda x: jnp.broadcast_to(x, (chains,) + x.shape),
+                             G.init_stats())
+        if shard:
+            cfgs = {k: jax.device_put(
+                        v, NamedSharding(mesh, P('chains', None, None, 'space')))
+                    for k, v in cfgs.items()}
+            stats = jax.tree.map(
+                lambda x: jax.device_put(x, NamedSharding(mesh, P('chains'))),
+                stats)
 
-    cfgs, stats = step(jax.random.key(0), cfgs, stats)
+        @jax.jit
+        def step(key, cfgs, stats):
+            keys = jax.vmap(lambda i: jax.random.fold_in(key, i))(jnp.arange(chains))
+            def one(k, c, s):
+                c, s, _ = G.step(k, c, s)
+                return c, s
+            return jax.vmap(one)(keys, cfgs, stats)
+
+        for i in range(3):
+            cfgs, stats = step(jax.random.key(i), cfgs, stats)
+        return cfgs, stats
+
+    sharded, sh_stats = run(True)
+    unsharded, un_stats = run(False)
+    for k in sharded:
+        a, b = np.asarray(sharded[k]), np.asarray(unsharded[k])
+        assert a.dtype == b.dtype
+        assert (a == b).all(), f'field {k}: sharded != unsharded'
+    # Fields evolved non-trivially and stay on the W=2 constraint surface.
+    assert np.abs(np.asarray(sharded['n'])).max() >= 0
     for c in range(chains):
-        assert S.valid({'n': np.asarray(cfgs['n'][c])})
+        assert S.valid({'n': np.asarray(sharded['n'][c])})
+    # Statistics may reduce in different orders across shards: allclose only.
+    for tag in sh_stats:
+        for k in sh_stats[tag]:
+            np.testing.assert_allclose(np.asarray(sh_stats[tag][k]),
+                                       np.asarray(un_stats[tag][k]), rtol=1e-5)
+
+
+def test_space_mesh_collective_audit():
+    """The compiled space-sharded Hammer step must contain halo
+    collective-permutes (zero would mean XLA gathered the whole lattice per
+    device and the sharding annotation was lost), while the chains-mesh step
+    must contain none (independent chains)."""
+    from supervillain_tpu.benchmark.scaling import (audit_collectives,
+                                                    audit_space_mesh_collectives)
+    space = audit_space_mesh_collectives(N=8, space=4, W=2)
+    assert space['collective-permute'] > 0, space
+    chains = audit_collectives(N=8, chains=8, steps=2)
+    assert all(v == 0 for v in chains.values()), chains
 
 
 def test_fleet_inline_thinning_uses_blocked_average():
@@ -157,18 +201,41 @@ def test_sample_fused_fleet_shards_over_mesh():
     assert fleet.stats['NeighborhoodUpdate']['acceptance'] == 0.5
 
 
-def test_fleet_autobounds_unbounded_worm_at_w2(caplog):
-    """A bare (unbounded) ClassicWorm vmapped over many chains at W>1 is the
-    measured fleet pathology (every step waits for the slowest chain's worm);
-    sample_fleet substitutes the exact max_moves-bounded kernel and warns."""
+def test_fleet_unbounded_worm_raises_by_default():
+    """A bare (unbounded) ClassicWorm vmapped over many chains is the measured
+    fleet pathology (every step waits for the slowest chain's worm).  Silently
+    rewriting the user's generator tree would change the transition kernel
+    without consent, so the default policy is an actionable error."""
+    S = sv.Villain(sv.Lattice2D(4), 0.5, W=2)
+    with pytest.raises(ValueError, match='max_moves'):
+        sample_fleet(S, gv.Hammer(S), chains=32, steps=3, seed=3)
+    # The floor is W-independent: W=1 unbounded worms stall fleets just the same.
+    S1 = sv.Villain(sv.Lattice2D(4), 0.5, W=1)
+    with pytest.raises(ValueError, match='fleet=True'):
+        sample_fleet(S1, gv.Hammer(S1), chains=32, steps=3, seed=3)
+    # Below the floor (few chains) the max-over-chains penalty is negligible.
+    fleet = sample_fleet(S, gv.Hammer(S), chains=4, steps=2, seed=3)
+    assert fleet.columns['n'].shape[:2] == (2, 4)
+
+
+def test_fleet_autobounds_unbounded_worm_with_optin(caplog):
+    """bound_worms='auto' opts into the exact max_moves-bounded substitution,
+    with a warning naming the substituted cap."""
     import logging
     S = sv.Villain(sv.Lattice2D(4), 0.5, W=2)
     with caplog.at_level(logging.WARNING, logger='supervillain_tpu.parallel.fleet'):
-        fleet = sample_fleet(S, gv.Hammer(S), chains=32, steps=3, seed=3)
+        fleet = sample_fleet(S, gv.Hammer(S), chains=32, steps=3, seed=3,
+                             bound_worms='auto')
     assert any('max_moves' in r.message for r in caplog.records)
     assert fleet.columns['n'].shape[:2] == (3, 32)
     for c in range(0, 32, 7):
         assert S.valid({'n': fleet.columns['n'][-1, c]})
+    # bound_worms='off' runs the tree exactly as given, no warning, no error.
+    caplog.clear()
+    with caplog.at_level(logging.WARNING, logger='supervillain_tpu.parallel.fleet'):
+        fleet = sample_fleet(S, gv.Hammer(S), chains=8, steps=2, seed=4,
+                             bound_worms='off')
+    assert not any('max_moves' in r.message for r in caplog.records)
 
 
 def test_fleet_no_substitution_when_already_bounded(caplog):
