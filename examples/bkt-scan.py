@@ -135,6 +135,17 @@ def main():
             return jax.vmap(chain)(keys, phi, n)
 
     @jax.jit
+    def winding_sectors(n):
+        """Per-chain Z_W holonomy bits (w_t, w_x) mod W — the homological
+        sectors only torus-wrapping worms can change.  Recorded so the scan
+        artifact carries *measured* sector populations per κ (mobility is
+        physical: free in the vortex-plasma phase, exponentially slow past
+        the transition — for the reference's local stack identically)."""
+        wt = jnp.sum(n[:, 0, :, 0], axis=1) % W
+        wx = jnp.sum(n[:, 1, 0, :], axis=1) % W
+        return wt, wx
+
+    @jax.jit
     def spin_correlator(phi):
         """Per-chain Spin_Spin (N, N) real part, from the current φ."""
         cdtype = jnp.complex64
@@ -189,6 +200,9 @@ def main():
             chi_col[r] = corr.sum(axis=(1, 2)) / corr[:, 0, 0]
         S_col = np.stack(S_rows)
         W2_col = np.stack(W2_rows)
+        wt, wx = winding_sectors(n)
+        nontrivial_sectors = float((np.asarray(wt) != 0).mean()
+                                   + (np.asarray(wx) != 0).mean()) / 2
         acc_frac = accepted / (B * N * N * args.thin * args.records)
 
         # Bootstrap over per-chain (or per-program) means: chains are
@@ -211,6 +225,7 @@ def main():
         mX, eX = b.estimate('SpinSusceptibility')
         results[kappa] = dict(acc=acc_frac, S=(mS, eS), W2=(mW, eW),
                               chi=(mX, eX), chi_scaled=(mX / scale, eX / scale),
+                              nontrivial_sector_frac=nontrivial_sectors,
                               seconds=time.perf_counter() - t0)
         line = (f'{kappa:>6.2f} {acc_frac:>6.1%} {str(Uncertain(mS, eS)):>16} '
                 f'{str(Uncertain(mW, eW)):>14} {str(Uncertain(mX, eX)):>14} '
@@ -220,6 +235,7 @@ def main():
             results[kappa]['chiV'] = (mV, eV)
             results[kappa]['chiV_scaled'] = (mV / scaleV, eV / scaleV)
             line += f' {str(Uncertain(mV / scaleV, eV / scaleV)):>15}'
+            line += f'  sect={nontrivial_sectors:.2f}'
         print(line, flush=True)
 
     if args.h5:

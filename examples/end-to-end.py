@@ -32,7 +32,12 @@ args = parser.parse_args()
 L = sv.Lattice2D(args.N)
 if args.action == 'villain':
     S = sv.Villain(L, args.kappa, W=args.W)
-    G = gvillain.NeighborhoodUpdate(S)
+    # At W=∞ the neighborhood proposal (Δn in multiples of W) is undefined;
+    # the exact-sector twin proposes (Δφ, Δz) with Δn = d(Δz) instead.
+    if args.W == float('inf'):
+        G = gvillain.ExactNeighborhoodUpdate(S)
+    else:
+        G = gvillain.NeighborhoodUpdate(S)
 else:
     S = sv.Worldline(L, args.kappa, W=args.W)
     G = Sequentially((gworldline.PlaquetteUpdate(S), gworldline.WrappingUpdate(S)))
