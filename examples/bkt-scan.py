@@ -94,11 +94,17 @@ def main():
                                 interval_n, sweeps, p_n=None):
             # Scale the worm count with the launch length so thermalization
             # chunks keep the same worms-per-sweep density as measurements.
+            # Worms are capped at 64·N² moves (exact truncation-rollback):
+            # the worm-length distribution's tail in the vortex-plasma phase
+            # can realize single excursions long enough to trip the TPU
+            # runtime watchdog; the recorded truncation fraction bounds the
+            # (χ_V-estimator-only) bias.
             w = max(1, (worms * sweeps) // max(args.thin, 1))
             return hammer_sweeps(seed, phi, n, N=N, kappa=kappa, W=W,
                                  interval_phi=interval_phi,
                                  interval_n=interval_n, sweeps=sweeps,
-                                 worms=w, p_n=p_n, chains_per_program=cpp)
+                                 worms=w, p_n=p_n, chains_per_program=cpp,
+                                 max_worm_moves=64 * N * N)
     elif on_tpu:
         from supervillain_tpu.ops.pallas_sweep import neighborhood_sweeps
     else:
@@ -186,9 +192,12 @@ def main():
         chi_col = np.empty((args.records, B))
         histV = np.zeros((B, N, N))
         accepted = 0.0
+        truncated = 0.0
         for r in range(args.records):
             phi, n, acc, inline = launch(phi, n, args.thin)
             accepted += float(acc.sum())
+            if 'Worm_Truncated' in inline:
+                truncated += float(np.asarray(inline['Worm_Truncated']).sum())
             # ActionDensity/WindingSquared come back per *program* (chains may
             # be packed several per program at small L) — still independent
             # samples, just fewer of them.
@@ -226,6 +235,7 @@ def main():
         results[kappa] = dict(acc=acc_frac, S=(mS, eS), W2=(mW, eW),
                               chi=(mX, eX), chi_scaled=(mX / scale, eX / scale),
                               nontrivial_sector_frac=nontrivial_sectors,
+                              worms_truncated=truncated,
                               seconds=time.perf_counter() - t0)
         line = (f'{kappa:>6.2f} {acc_frac:>6.1%} {str(Uncertain(mS, eS)):>16} '
                 f'{str(Uncertain(mW, eW)):>14} {str(Uncertain(mX, eX)):>14} '

@@ -85,7 +85,7 @@ def main():
                 jnp.int32(rng.integers(0, 2 ** 31 - 1)), phi, n, N=N,
                 kappa=kappa, W=float('inf'), interval_phi=1.5, interval_n=1,
                 sweeps=sweeps, worms=max(1, (worms * sweeps) // thin),
-                interpret=not on_tpu)
+                max_worm_moves=64 * N * N, interpret=not on_tpu)
         else:
             phi, n, acc, inline = neighborhood_sweeps(
                 jnp.int32(rng.integers(0, 2 ** 31 - 1)), phi, n, N=N, kappa=kappa,
@@ -127,7 +127,7 @@ def main():
                 jnp.int32(rng.integers(0, 2 ** 31 - 1)), m, v, N=N, kappa=kappa,
                 W=float('inf'), interval_v=1, interval_t=1, interval_w=1,
                 sweeps=sweeps, worms=max(1, (worms * sweeps) // thin),
-                interpret=not on_tpu)
+                max_worm_moves=64 * N * N, interpret=not on_tpu)
         else:
             m, v, acc = worldline_sweeps(
                 jnp.int32(rng.integers(0, 2 ** 31 - 1)), m, v, N=N, kappa=kappa,

@@ -15,7 +15,13 @@ import numpy as np
 def scaled_susceptibility(chi, L, Delta, D=2):
     """χ / L^(D−2Δ): size-independent at the critical coupling (up to the BKT
     logarithmic corrections), decreasing with L in the disordered phase,
-    increasing with L inside the critical phase (where η(κ) < 2Δ)."""
+    increasing with L inside the critical phase (where η(κ) < 2Δ).
+
+    >>> float(scaled_susceptibility(64.0, 256, Delta=0.5))   # W=2: χ/L
+    0.25
+    >>> float(scaled_susceptibility(32.0, 64, Delta=0.125))  # W=1: χ/L^1.75
+    0.0220970869...
+    """
     return np.asarray(chi) / L ** (D - 2 * Delta)
 
 
@@ -26,13 +32,21 @@ def effective_exponent(L1, chi1, L2, chi2):
 
     Returns (two_minus_eta, eta_eff).  At a BKT transition η_eff → 2Δ from
     below as L → ∞ (with slow log corrections); deep in the critical phase
-    η_eff ≈ 1/(2πκ_R)."""
+    η_eff ≈ 1/(2πκ_R).
+
+    >>> effective_exponent(128, 100.0, 256, 100.0 * 2 ** 1.75)
+    (1.75, 0.25)
+    """
     two_minus_eta = float(np.log(chi2 / chi1) / np.log(L2 / L1))
     return two_minus_eta, 2.0 - two_minus_eta
 
 
 def effective_exponent_error(L1, chi1, e1, L2, chi2, e2):
-    """Propagated 1σ error of η_eff from independent χ errors."""
+    """Propagated 1σ error of η_eff from independent χ errors.
+
+    >>> round(effective_exponent_error(128, 100.0, 1.0, 256, 175.0, 2.0), 4)
+    0.0219
+    """
     rel = np.hypot(e1 / chi1, e2 / chi2)
     return float(rel / abs(np.log(L2 / L1)))
 

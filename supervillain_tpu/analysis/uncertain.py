@@ -19,27 +19,45 @@ def _exponent_suffix(exponent, E=False):
 class Uncertain:
     r"""A central value with a symmetric uncertainty, formatted NIST-style.
 
-    ``str()`` produces signed scientific shorthand with two uncertainty digits,
-    e.g. ``Uncertain(0.51099895000, 0.00000000015)`` → ``'+5.1099895000(15) × 10^-1'``.
+    ``str()`` produces signed scientific shorthand with two uncertainty
+    digits (doctests below run in the test suite, tests/test_doctests.py):
+
+    >>> str(Uncertain(0.51099895000, 0.00000000015))
+    '+5.1099895000(15) × 10^-1'
 
     The format-spec mini-language (order-insensitive flags, matching the
     reference's semantics):
 
     * ``u<digits>`` — significant digits of the uncertainty shown in
-      parentheses (default 2); mutually exclusive with ``.precision``.
+      parentheses (default 2); mutually exclusive with ``.precision``:
+
+      >>> format(Uncertain(0.1179, 0.0010), 'u1')
+      '1.18(1) × 10^-1'
+
     * ``.<precision>`` — fix the decimals of the mantissa instead; an
-      uncertainty too small on that scale still shows as ``(0)``.
-    * ``e`` — scientific E-notation (``1.179(10)e-1``) instead of ``× 10^``.
-    * ``+`` — force a leading sign (implied by the empty spec, hence ``str``).
+      uncertainty too small on that scale still shows as ``(0)``:
+
+      >>> format(Uncertain(0.1179, 0.00001), '.2')
+      '1.18(0) × 10^-1'
+
+    * ``e`` — scientific E-notation instead of ``× 10^``:
+
+      >>> format(Uncertain(0.1179, 0.0010), 'ue')
+      '1.179(10)e-1'
+
+    * ``+`` — force a leading sign (implied by the empty spec, hence ``str``):
+
+      >>> format(Uncertain(0.1179, 0.0010), '+u2')
+      '+1.179(10) × 10^-1'
 
     Exceptional cases, as in the reference:
 
-    * zero uncertainty → just the (possibly exponent-scaled) mean:
-      ``str(Uncertain(3.14159, 0)) == '+3.14159'``.
-    * uncertainty ≥ |mean| → explicit ± notation:
-      ``str(Uncertain(1, 10)) == '(+1.00 ± 10.00)'``.
-    * a single trustworthy digit keeps the decimal point inside the
-      parentheses: ``str(Uncertain(8.5, 3.1)) == '+8.5(3.1)'``.
+    >>> str(Uncertain(3.14159, 0))      # zero uncertainty: just the mean
+    '+3.14159'
+    >>> str(Uncertain(1, 10))           # uncertainty >= |mean|: explicit ±
+    '(+1.00 ± 10.00)'
+    >>> str(Uncertain(8.5, 3.1))        # one trustworthy digit keeps the point
+    '+8.5(3.1)'
 
     A zero mean with nonzero uncertainty formats as ``(±0.00 ± u)`` instead of
     raising like the reference does (extension).

@@ -16,7 +16,19 @@ LICENSE = 'MIT'
 
 
 def W(value):
-    """Parse the constraint integer, accepting 'inf', '∞', or 'infinity'."""
+    """Parse the constraint integer, accepting 'inf', '∞', or 'infinity'.
+
+    >>> W('2')
+    2
+    >>> W('inf')
+    inf
+    >>> W('∞')
+    inf
+    >>> W('0')
+    Traceback (most recent call last):
+        ...
+    argparse.ArgumentTypeError: W must be a positive integer or inf, got 0
+    """
     if str(value).lower() in ('inf', 'infinity', '∞'):
         return float('inf')
     w = int(value)

@@ -165,7 +165,7 @@ class FusedHammer(Generator):
     fields = ('phi', 'n')
 
     def __init__(self, action, interval_phi=np.pi, interval_n=1, sweeps_per_step=1,
-                 worms=1, p_n=None):
+                 worms=1, p_n=None, max_worm_moves=None):
         if not isinstance(action, Villain):
             raise ValueError('Need a Villain action')
         self.Action = action
@@ -175,6 +175,9 @@ class FusedHammer(Generator):
         self.sweeps_per_step = int(sweeps_per_step)
         self.worms = int(worms)
         self.p_n = None if p_n is None else float(p_n)
+        # Exact truncation-rollback bound on each in-kernel worm (None =
+        # unbounded; fleets should cap — see ops.pallas_hammer.hammer_sweeps).
+        self.max_worm_moves = None if max_worm_moves is None else int(max_worm_moves)
         winf = action.W == float('inf')
         self._kernel_W = action.W if winf else int(action.W)
         self._fallback = None
@@ -211,7 +214,8 @@ class FusedHammer(Generator):
         return {'ActionDensity': ((), jnp.float32),
                 'WindingSquared': ((), jnp.float32),
                 'Vortex_Vortex': ((L.N, L.N), jnp.float32),
-                'Worm_Length': ((), jnp.float32)}
+                'Worm_Length': ((), jnp.float32),
+                'Worm_Truncated': ((), jnp.float32)}
 
     def step(self, key, cfg, stats):
         if self._fallback is not None:
@@ -225,7 +229,8 @@ class FusedHammer(Generator):
         phi, n, accepted, inline = hammer_sweeps(
             seed, phi, n, N=L.N, kappa=S.kappa, W=self._kernel_W,
             interval_phi=self.interval_phi, interval_n=self.interval_n,
-            sweeps=self.sweeps_per_step, worms=self.worms, p_n=self.p_n)
+            sweeps=self.sweeps_per_step, worms=self.worms, p_n=self.p_n,
+            max_worm_moves=self.max_worm_moves)
         wl = inline['Worm_Length'][0]
         su = float(L.sites * self.sweeps_per_step)
         sN = stats[self._sweep_tag]

@@ -160,7 +160,7 @@ class FusedWorldlineHammer(Generator):
     fields = ('m', 'v')
 
     def __init__(self, action, interval_v=1, interval_t=1, interval_w=1,
-                 sweeps_per_step=1, worms=1):
+                 sweeps_per_step=1, worms=1, max_worm_moves=None):
         if not isinstance(action, Worldline):
             raise ValueError('Need a Worldline action')
         self.Action = action
@@ -170,6 +170,7 @@ class FusedWorldlineHammer(Generator):
         self.interval_w = int(interval_w)
         self.sweeps_per_step = int(sweeps_per_step)
         self.worms = int(worms)
+        self.max_worm_moves = None if max_worm_moves is None else int(max_worm_moves)
         self._fallback = None
         N = action.Lattice.N
         if not (_pallas_supported(action) and N % 128 == 0 and N <= 256):
@@ -194,7 +195,8 @@ class FusedWorldlineHammer(Generator):
             return self._fallback.inline_shapes()
         return {'ActionDensity': ((), jnp.float32),
                 'Spin_Spin': ((L.N, L.N), jnp.float32),
-                'Worm_Length': ((), jnp.float32)}
+                'Worm_Length': ((), jnp.float32),
+                'Worm_Truncated': ((), jnp.float32)}
 
     def step(self, key, cfg, stats):
         if self._fallback is not None:
@@ -214,7 +216,7 @@ class FusedWorldlineHammer(Generator):
             seed, m, v, N=L.N, kappa=S.kappa, W=S.W if winf else int(S.W),
             interval_v=self.interval_v, interval_t=self.interval_t,
             interval_w=self.interval_w, sweeps=self.sweeps_per_step,
-            worms=self.worms)
+            worms=self.worms, max_worm_moves=self.max_worm_moves)
         wl = inline['Worm_Length'][0]
         proposals = float((2 * L.sites + 2 * L.N) * self.sweeps_per_step)
         sL = stats['WorldlineLocalUpdates']

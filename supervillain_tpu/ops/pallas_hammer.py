@@ -54,7 +54,7 @@ _GOLD = np.int32(2654435761 & 0x7FFFFFFF)
 
 
 def _make_hammer_kernel(N, kappa, W, interval_phi, interval_n, sweeps, worms,
-                        C0=1, C1=1, p_n=None):
+                        C0=1, C1=1, p_n=None, worm_cap=None):
     winf = (W == float('inf'))
     kappa = np.float32(kappa)
     interval_phi = np.float32(interval_phi)
@@ -77,7 +77,13 @@ def _make_hammer_kernel(N, kappa, W, interval_phi, interval_n, sweeps, worms,
         return out
 
     def kernel(seed_ref, phi_ref, n_ref, phi_out, n_out, hist_ref, stat_ref,
-               r0_s, r1_s):
+               r0_s, r1_s, *snap):
+        # With a worm cap, four extra scratch buffers snapshot (n0, n1, r0, r1)
+        # at each worm's start so a truncated (still-open) worm can roll the
+        # fields back exactly — the XLA ClassicWorm's truncation-rollback
+        # semantics (an unbounded in-kernel worm is exact but its step time is
+        # unbounded too: a single monster excursion in the vortex-plasma phase
+        # can outlive the TPU runtime watchdog and kill the worker).
         group = pl.program_id(0)
         pltpu.prng_seed(seed_ref[0] + group * _GOLD)
 
@@ -212,6 +218,13 @@ def _make_hammer_kernel(N, kappa, W, interval_phi, interval_n, sweeps, worms,
             c0 = c // jnp.int32(C1)
             c1 = jax.lax.rem(c, jnp.int32(C1))
 
+            if worm_cap is not None:
+                ns0, ns1, rs0, rs1 = snap
+                ns0[:] = n_out[0, 0]
+                ns1[:] = n_out[0, 1]
+                rs0[:] = r0_s[:]
+                rs1[:] = r1_s[:]
+
             def ridx(t):
                 return t * C0 + c0
 
@@ -232,10 +245,13 @@ def _make_hammer_kernel(N, kappa, W, interval_phi, interval_n, sweeps, worms,
                 head0_t, head0_x = tail_t, tail_x
 
             def cond(state):
-                return state[0] == 0
+                open_ = state[0] == 0
+                if worm_cap is not None:
+                    open_ = open_ & (state[3] < worm_cap)
+                return open_
 
             def body(state):
-                _, head_t, head_x = state
+                _, head_t, head_x, moves = state
                 c0w, c1w, c2w, _ = draws()
                 u_close = unif(c0w)
                 choice = jax.lax.bitwise_and(c1w, jnp.int32(3))
@@ -280,12 +296,31 @@ def _make_hammer_kernel(N, kappa, W, interval_phi, interval_n, sweeps, worms,
                     add1(hist_ref.at[0], ridx(dt), lidx(dx), np.float32(1.0))
 
                 return (jnp.where(close_now, jnp.int32(1), jnp.int32(0)),
-                        head_t, head_x)
+                        head_t, head_x, moves + 1)
 
-            jax.lax.while_loop(cond, body, (jnp.int32(0), head0_t, head0_x))
+            done, _, _, _ = jax.lax.while_loop(
+                cond, body, (jnp.int32(0), head0_t, head0_x, jnp.int32(0)))
+
+            if worm_cap is not None and not closed_always:
+                # Truncated (still-open) worm at W != 1: the open configuration
+                # violates dn ≡ 0 (mod W) — roll the fields back (exact; the
+                # worm's Metropolis chain pairs trajectories with their
+                # reversals).  Histogram tallies are kept, as in the XLA worm
+                # (documented short-separation bias when truncation fires).
+                truncated = done == 0
+
+                @pl.when(truncated)
+                def _():
+                    ns0, ns1, rs0, rs1 = snap
+                    n_out[0, 0] = ns0[:]
+                    n_out[0, 1] = ns1[:]
+                    r0_s[:] = rs0[:]
+                    r1_s[:] = rs1[:]
+
+                carry = carry + jnp.where(truncated, jnp.int32(1), jnp.int32(0))
             return carry
 
-        jax.lax.fori_loop(0, worms * C, worm_body, jnp.int32(0))
+        truncations = jax.lax.fori_loop(0, worms * C, worm_body, jnp.int32(0))
 
         length = jnp.sum(hist_ref[0])
         stat_ref[0] = jnp.concatenate([
@@ -293,7 +328,8 @@ def _make_hammer_kernel(N, kappa, W, interval_phi, interval_n, sweeps, worms,
             jnp.full((1, 128), sS, jnp.float32),
             jnp.full((1, 128), sw2, jnp.float32),
             jnp.full((1, 128), length, jnp.float32),
-            jnp.zeros((4, 128), jnp.float32),
+            jnp.full((1, 128), truncations.astype(jnp.float32), jnp.float32),
+            jnp.zeros((3, 128), jnp.float32),
         ], axis=0)
 
     return kernel
@@ -301,10 +337,10 @@ def _make_hammer_kernel(N, kappa, W, interval_phi, interval_n, sweeps, worms,
 
 @partial(jax.jit, static_argnames=('N', 'kappa', 'W', 'interval_phi', 'interval_n',
                                    'sweeps', 'worms', 'p_n', 'chains_per_program',
-                                   'interpret'))
+                                   'max_worm_moves', 'interpret'))
 def hammer_sweeps(seed, phi, n, *, N, kappa, W, interval_phi, interval_n,
                   sweeps, worms=1, p_n=None, chains_per_program=1,
-                  interpret=False):
+                  max_worm_moves=None, interpret=False):
     """Run ``sweeps`` fused neighborhood sweeps followed by ``worms`` classic
     worms per chain, in one Pallas launch.
 
@@ -322,12 +358,22 @@ def hammer_sweeps(seed, phi, n, *, N, kappa, W, interval_phi, interval_n,
     lattices (N < 128) fill the vector lanes; needs ``C1·N % 128 == 0`` where
     C1 = min(cpp, 128 // N) — e.g. ``chains_per_program=2`` at N=64.
 
+    ``max_worm_moves`` bounds each worm's move count (exact truncation-rollback
+    at W ≠ 1: an unclosed worm's field changes are undone from an in-kernel
+    snapshot; at W = 1 the open configuration is valid and kept, as in the XLA
+    ClassicWorm).  Unbounded worms are exact but their step time is not: in
+    the vortex-plasma phase the worm-length distribution's tail can realize a
+    single excursion long enough to trip the TPU runtime watchdog, so
+    production launches should pass a generous cap (e.g. 64·N²).  The
+    per-program truncation count comes back as inline ``Worm_Truncated``.
+
     Returns
     -------
     (phi, n, accepted, inline): updated fields, per-program accepted sweep-move
     counts (G,), and inline observables: per-sweep-averaged ``ActionDensity``
     and ``WindingSquared`` (G,), the per-chain worm ``Vortex_Vortex`` histogram
-    (B, N, N), and per-chain ``Worm_Length`` (B,).
+    (B, N, N), per-chain ``Worm_Length`` (B,), and per-program
+    ``Worm_Truncated`` (G,).
     """
     B = phi.shape[0]
     C = chains_per_program
@@ -358,8 +404,17 @@ def hammer_sweeps(seed, phi, n, *, N, kappa, W, interval_phi, interval_n,
     phi_p = pack(phi) if C > 1 else phi
     n_p = pack(n) if C > 1 else n
 
+    cap = None if max_worm_moves is None else int(max_worm_moves)
     kernel = _make_hammer_kernel(N, kappa, W, interval_phi, interval_n,
-                                 sweeps, worms, C0=C0, C1=C1, p_n=p_n)
+                                 sweeps, worms, C0=C0, C1=C1, p_n=p_n,
+                                 worm_cap=cap)
+    scratch = [pltpu.VMEM((R, CN), jnp.float32),
+               pltpu.VMEM((R, CN), jnp.float32)]
+    if cap is not None:
+        scratch += [pltpu.VMEM((R, CN), jnp.int32),
+                    pltpu.VMEM((R, CN), jnp.int32),
+                    pltpu.VMEM((R, CN), jnp.float32),
+                    pltpu.VMEM((R, CN), jnp.float32)]
     phi_spec = pl.BlockSpec((1, 1, R, CN), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM)
     n_spec = pl.BlockSpec((1, 2, R, CN), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM)
     out_phi, out_n, hist, stat = pl.pallas_call(
@@ -373,8 +428,7 @@ def hammer_sweeps(seed, phi, n, *, N, kappa, W, interval_phi, interval_n,
                    jax.ShapeDtypeStruct(n_p.shape, jnp.int32),
                    jax.ShapeDtypeStruct((G, R, CN), jnp.float32),
                    jax.ShapeDtypeStruct((G, 8, 128), jnp.float32)),
-        scratch_shapes=[pltpu.VMEM((R, CN), jnp.float32),
-                        pltpu.VMEM((R, CN), jnp.float32)],
+        scratch_shapes=scratch,
         interpret=interpret,
     )(jnp.asarray(seed, jnp.int32).reshape(1), phi_p, n_p)
     if C > 1:
@@ -385,5 +439,6 @@ def hammer_sweeps(seed, phi, n, *, N, kappa, W, interval_phi, interval_n,
     inline = {'ActionDensity': stat[:, 1, 0] / sweeps,
               'WindingSquared': stat[:, 2, 0] / sweeps,
               'Vortex_Vortex': hist,
-              'Worm_Length': wl}
+              'Worm_Length': wl,
+              'Worm_Truncated': stat[:, 4, 0]}
     return out_phi, out_n, stat[:, 0, 0], inline

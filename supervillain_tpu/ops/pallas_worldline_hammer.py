@@ -57,14 +57,24 @@ from .pallas_worldline import _monolithic_passes, _delta2
 _GOLD = np.int32(2654435761 & 0x7FFFFFFF)
 
 
-def _worm_section(N, NP, kappa, worms, m_out, hist_ref, l0_s, l1_s):
+def _worm_section(N, NP, kappa, worms, m_out, hist_ref, l0_s, l1_s,
+                  snap=None, cap=None):
     """Trace ``worms`` sequential site-worms on the VMEM-resident residuals.
 
     ``m_out``: (1, 2, N, NP) int32 output ref (updated in place);
     ``hist_ref``: (1, N, NP) float32 Spin_Spin tally ref (pre-zeroed);
     ``l0_s``/``l1_s``: (N, NP) float32 link-residual scratch u_mu = m_mu − (δv)_mu/_W.
 
-    Returns nothing; tallies live in ``hist_ref`` (total length = its sum).
+    ``cap``/``snap``: optional move bound with exact truncation-rollback — an
+    open worldline worm violates δm = 0, so a worm that has not closed after
+    ``cap`` moves restores (m0, m1, l0, l1) from the 4 ``snap`` scratch
+    buffers taken at its start (histogram tallies are kept, as in the XLA
+    worm; the cap bounds the launch time against the monster-excursion tail
+    of the worm-length distribution, which can otherwise outlive the TPU
+    runtime watchdog).
+
+    Returns the truncation count (0 when uncapped); tallies live in
+    ``hist_ref`` (total length = its sum).
     """
     inv2k = np.float32(0.5 / float(kappa))
 
@@ -113,11 +123,21 @@ def _worm_section(N, NP, kappa, worms, m_out, hist_ref, l0_s, l1_s):
         # The worldline worm always starts closed at its tail (an open worm
         # violates δm = 0 at head/tail for every W — reference worm.py:104).
 
+        if cap is not None:
+            ms0, ms1, ls0, ls1 = snap
+            ms0[:] = m_out[0, 0]
+            ms1[:] = m_out[0, 1]
+            ls0[:] = l0_s[:]
+            ls1[:] = l1_s[:]
+
         def cond(state):
-            return state[0] == 0
+            open_ = state[0] == 0
+            if cap is not None:
+                open_ = open_ & (state[3] < cap)
+            return open_
 
         def body(state):
-            _, head_t, head_x = state
+            _, head_t, head_x, moves = state
             c0, c1, c2, _ = draws()
             u_close = unif(c0)
             choice = jax.lax.bitwise_and(c1, jnp.int32(3))
@@ -158,19 +178,34 @@ def _worm_section(N, NP, kappa, worms, m_out, hist_ref, l0_s, l1_s):
                 add1(hist_ref.at[0], dt, dx, np.float32(1.0))
 
             return (jnp.where(close_now, jnp.int32(1), jnp.int32(0)),
-                    head_t, head_x)
+                    head_t, head_x, moves + 1)
 
-        jax.lax.while_loop(cond, body, (jnp.int32(0), tail_t, tail_x))
+        done, _, _, _ = jax.lax.while_loop(
+            cond, body, (jnp.int32(0), tail_t, tail_x, jnp.int32(0)))
+
+        if cap is not None:
+            truncated = done == 0
+
+            @pl.when(truncated)
+            def _():
+                ms0, ms1, ls0, ls1 = snap
+                m_out[0, 0] = ms0[:]
+                m_out[0, 1] = ms1[:]
+                l0_s[:] = ls0[:]
+                l1_s[:] = ls1[:]
+
+            carry = carry + jnp.where(truncated, jnp.int32(1), jnp.int32(0))
         return carry
 
-    jax.lax.fori_loop(0, worms, worm_body, jnp.int32(0))
+    return jax.lax.fori_loop(0, worms, worm_body, jnp.int32(0))
 
 
-def _make_worm_kernel(N, NP, kappa, worms):
+def _make_worm_kernel(N, NP, kappa, worms, worm_cap=None):
     """Standalone worldline-worm kernel: inputs m and the host-computed link
     residual u = m − δv/_W (so the kernel is W-agnostic)."""
 
-    def kernel(seed_ref, m_ref, u_ref, m_out, hist_ref, stat_ref, l0_s, l1_s):
+    def kernel(seed_ref, m_ref, u_ref, m_out, hist_ref, stat_ref, l0_s, l1_s,
+               *snap):
         chain = pl.program_id(0)
         pltpu.prng_seed(seed_ref[0] + chain * _GOLD)
 
@@ -180,20 +215,25 @@ def _make_worm_kernel(N, NP, kappa, worms):
         l0_s[:] = u_ref[0, 0]
         l1_s[:] = u_ref[0, 1]
 
-        _worm_section(N, NP, kappa, worms, m_out, hist_ref, l0_s, l1_s)
+        truncations = _worm_section(N, NP, kappa, worms, m_out, hist_ref,
+                                    l0_s, l1_s, snap=snap or None,
+                                    cap=worm_cap)
 
         length = jnp.sum(hist_ref[0])
         stat_ref[0] = jnp.concatenate([
             jnp.full((1, 128), length, jnp.float32),
             jnp.full((1, 128), np.float32(worms), jnp.float32),
-            jnp.zeros((6, 128), jnp.float32),
+            jnp.full((1, 128), truncations.astype(jnp.float32), jnp.float32),
+            jnp.zeros((5, 128), jnp.float32),
         ], axis=0)
 
     return kernel
 
 
-@partial(jax.jit, static_argnames=('N', 'kappa', 'W', 'worms', 'interpret'))
-def worldline_worms(seed, m, v, *, N, kappa, W, worms=1, interpret=False):
+@partial(jax.jit, static_argnames=('N', 'kappa', 'W', 'worms', 'max_worm_moves',
+                                   'interpret'))
+def worldline_worms(seed, m, v, *, N, kappa, W, worms=1, max_worm_moves=None,
+                    interpret=False):
     """Run ``worms`` whole worldline classic worms per chain in one launch.
 
     Parameters
@@ -226,7 +266,15 @@ def worldline_worms(seed, m, v, *, N, kappa, W, worms=1, interpret=False):
         m_in = jnp.pad(m_in, padding)
         u = jnp.pad(u, padding)
 
-    kernel = _make_worm_kernel(N, NP, kappa, worms)
+    cap = None if max_worm_moves is None else int(max_worm_moves)
+    kernel = _make_worm_kernel(N, NP, kappa, worms, worm_cap=cap)
+    scratch = [pltpu.VMEM((N, NP), jnp.float32),
+               pltpu.VMEM((N, NP), jnp.float32)]
+    if cap is not None:
+        scratch += [pltpu.VMEM((N, NP), jnp.int32),
+                    pltpu.VMEM((N, NP), jnp.int32),
+                    pltpu.VMEM((N, NP), jnp.float32),
+                    pltpu.VMEM((N, NP), jnp.float32)]
     f_spec = pl.BlockSpec((1, 2, N, NP), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM)
     m_out, hist, stat = pl.pallas_call(
         kernel,
@@ -238,21 +286,20 @@ def worldline_worms(seed, m, v, *, N, kappa, W, worms=1, interpret=False):
         out_shape=(jax.ShapeDtypeStruct((B, 2, N, NP), jnp.int32),
                    jax.ShapeDtypeStruct((B, N, NP), jnp.float32),
                    jax.ShapeDtypeStruct((B, 8, 128), jnp.float32)),
-        scratch_shapes=[pltpu.VMEM((N, NP), jnp.float32),
-                        pltpu.VMEM((N, NP), jnp.float32)],
+        scratch_shapes=scratch,
         interpret=interpret,
     )(jnp.asarray(seed, jnp.int32).reshape(1), m_in, u)
     return m_out[..., :N], hist[..., :N], stat[:, 0, 0]
 
 
 def _make_hammer_kernel(N, kappa, W, interval_v, interval_t, interval_w,
-                        sweeps, worms):
+                        sweeps, worms, worm_cap=None):
     winf = (W == float('inf'))
     inv2k = np.float32(0.5 / float(kappa))
     fW = np.float32(2 * np.pi) if winf else np.float32(W)
 
     def kernel(seed_ref, m_ref, v_ref, m_out, v_out, hist_ref, stat_ref,
-               l0_s, l1_s):
+               l0_s, l1_s, *snap):
         chain = pl.program_id(0)
         pltpu.prng_seed(seed_ref[0] + chain * _GOLD)
 
@@ -289,24 +336,28 @@ def _make_hammer_kernel(N, kappa, W, interval_v, interval_t, interval_w,
         l1_s[:] = m1.astype(jnp.float32) - dv1 / fW
 
         # ---- section 2: classic worms on the resident residuals ------------
-        _worm_section(N, N, kappa, worms, m_out, hist_ref, l0_s, l1_s)
+        truncations = _worm_section(N, N, kappa, worms, m_out, hist_ref,
+                                    l0_s, l1_s, snap=snap or None,
+                                    cap=worm_cap)
 
         length = jnp.sum(hist_ref[0])
         stat_ref[0] = jnp.concatenate([
             jnp.full((1, 128), acc, jnp.float32),
             jnp.full((1, 128), sS, jnp.float32),
             jnp.full((1, 128), length, jnp.float32),
-            jnp.zeros((5, 128), jnp.float32),
+            jnp.full((1, 128), truncations.astype(jnp.float32), jnp.float32),
+            jnp.zeros((4, 128), jnp.float32),
         ], axis=0)
 
     return kernel
 
 
 @partial(jax.jit, static_argnames=('N', 'kappa', 'W', 'interval_v', 'interval_t',
-                                   'interval_w', 'sweeps', 'worms', 'interpret'))
+                                   'interval_w', 'sweeps', 'worms',
+                                   'max_worm_moves', 'interpret'))
 def worldline_hammer_sweeps(seed, m, v, *, N, kappa, W, interval_v=1,
                             interval_t=1, interval_w=1, sweeps=1, worms=1,
-                            interpret=False):
+                            max_worm_moves=None, interpret=False):
     """Run ``sweeps`` fused worldline local-update stacks followed by ``worms``
     classic worms per chain, in one Pallas launch — the complete reference
     worldline Hammer (vortex + coexact + wrapping + worm) as one program.
@@ -317,11 +368,17 @@ def worldline_hammer_sweeps(seed, m, v, *, N, kappa, W, interval_v=1,
     m: (B, 2, N, N) int32
     v: (B, 1, N, N) int32 (finite W) or float32 (W = inf)
 
+    ``max_worm_moves`` bounds each worm's move count with exact
+    truncation-rollback (see :func:`_worm_section`); production launches
+    should pass a generous cap (e.g. 64·N²) to bound the launch time against
+    the monster-excursion tail.
+
     Returns
     -------
     (m, v, accepted, inline): updated fields, per-chain accepted sweep-move
     counts (B,), and inline observables: per-sweep-averaged ``ActionDensity``,
-    the worm ``Spin_Spin`` histogram (B, N, N), and ``Worm_Length`` (B,).
+    the worm ``Spin_Spin`` histogram (B, N, N), ``Worm_Length`` (B,), and the
+    ``Worm_Truncated`` count (B,).
     """
     if N % 128 != 0:
         raise ValueError('worldline_hammer_sweeps needs N to be a multiple of '
@@ -335,8 +392,16 @@ def worldline_hammer_sweeps(seed, m, v, *, N, kappa, W, interval_v=1,
     B = m.shape[0]
     vdt = jnp.float32 if W == float('inf') else jnp.int32
     v = v.astype(vdt)
+    cap = None if max_worm_moves is None else int(max_worm_moves)
     kernel = _make_hammer_kernel(N, kappa, W, interval_v, interval_t,
-                                 interval_w, sweeps, worms)
+                                 interval_w, sweeps, worms, worm_cap=cap)
+    scratch = [pltpu.VMEM((N, N), jnp.float32),
+               pltpu.VMEM((N, N), jnp.float32)]
+    if cap is not None:
+        scratch += [pltpu.VMEM((N, N), jnp.int32),
+                    pltpu.VMEM((N, N), jnp.int32),
+                    pltpu.VMEM((N, N), jnp.float32),
+                    pltpu.VMEM((N, N), jnp.float32)]
     m_spec = pl.BlockSpec((1, 2, N, N), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM)
     v_spec = pl.BlockSpec((1, 1, N, N), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM)
     out_m, out_v, hist, stat = pl.pallas_call(
@@ -350,11 +415,11 @@ def worldline_hammer_sweeps(seed, m, v, *, N, kappa, W, interval_v=1,
                    jax.ShapeDtypeStruct(v.shape, vdt),
                    jax.ShapeDtypeStruct((B, N, N), jnp.float32),
                    jax.ShapeDtypeStruct((B, 8, 128), jnp.float32)),
-        scratch_shapes=[pltpu.VMEM((N, N), jnp.float32),
-                        pltpu.VMEM((N, N), jnp.float32)],
+        scratch_shapes=scratch,
         interpret=interpret,
     )(jnp.asarray(seed, jnp.int32).reshape(1), m.astype(jnp.int32), v)
     inline = {'ActionDensity': stat[:, 1, 0] / sweeps,
               'Spin_Spin': hist,
-              'Worm_Length': stat[:, 2, 0]}
+              'Worm_Length': stat[:, 2, 0],
+              'Worm_Truncated': stat[:, 3, 0]}
     return out_m, out_v, stat[:, 0, 0], inline

@@ -34,7 +34,7 @@ from ..models import Worldline
 
 def _fused_launch(action, *, N, thin, interval_phi, interval_n, p_n,
                   chains_per_program, mesh=None, interpret=False, kernel_fn=None,
-                  worms=0):
+                  worms=0, max_worm_moves=None):
     """(seed, phi, n) -> (phi, n, accepted, inline), optionally shard_mapped over
     the mesh's ``chains`` axis.  ``kernel_fn`` substitutes the Pallas kernel
     (same signature) — used to exercise the SPMD plumbing on CPU meshes where
@@ -49,8 +49,10 @@ def _fused_launch(action, *, N, thin, interval_phi, interval_n, p_n,
             from ..ops.pallas_worldline_hammer import worldline_hammer_sweeps
             kernel = partial(worldline_hammer_sweeps,
                              N=N, kappa=action.kappa, W=W, sweeps=thin,
-                             worms=int(worms), interpret=interpret)
-            inline_keys = ('ActionDensity', 'Spin_Spin', 'Worm_Length')
+                             worms=int(worms), max_worm_moves=max_worm_moves,
+                             interpret=interpret)
+            inline_keys = ('ActionDensity', 'Spin_Spin', 'Worm_Length',
+                           'Worm_Truncated')
         else:
             from ..ops.pallas_worldline import worldline_sweeps
 
@@ -94,9 +96,10 @@ def _fused_launch(action, *, N, thin, interval_phi, interval_n, p_n,
                          p_n=None if p_n is None else float(p_n),
                          sweeps=thin, worms=int(worms),
                          chains_per_program=chains_per_program,
+                         max_worm_moves=max_worm_moves,
                          interpret=interpret)
         inline_keys = ('ActionDensity', 'WindingSquared', 'Vortex_Vortex',
-                       'Worm_Length')
+                       'Worm_Length', 'Worm_Truncated')
     else:
         from ..ops.pallas_sweep import neighborhood_sweeps
         kernel = partial(kernel_fn or neighborhood_sweeps,
@@ -125,7 +128,8 @@ def _fused_launch(action, *, N, thin, interval_phi, interval_n, p_n,
 def sample_fused_fleet(action, *, chains, steps, thin=10, seed=0,
                        interval_phi=np.pi, interval_n=1, p_n=None,
                        chains_per_program=None, keep_fields=False, progress=None,
-                       mesh=None, interpret=False, kernel_fn=None, worms=0):
+                       mesh=None, interpret=False, kernel_fn=None, worms=0,
+                       max_worm_moves='auto'):
     """Sample ``chains`` Villain chains for ``steps`` kept records, each separated
     by ``thin`` fused sweeps.
 
@@ -161,10 +165,18 @@ def sample_fused_fleet(action, *, chains, steps, thin=10, seed=0,
         phi = jax.device_put(phi, sharding)
         n = jax.device_put(n, sharding)
 
+    # Fleet launches bound each worm's move count by default (64·N² — an
+    # exact truncation-rollback, generous enough that truncation is rare; the
+    # UNBOUNDED tail of the worm-length distribution can realize a single
+    # excursion long enough to trip the TPU runtime watchdog).  Pass
+    # max_worm_moves=None for strictly unbounded worms.
+    if max_worm_moves == 'auto':
+        max_worm_moves = 64 * N * N if worms > 0 else None
     launch = _fused_launch(action, N=N, thin=thin, interval_phi=interval_phi,
                            interval_n=interval_n, p_n=p_n,
                            chains_per_program=chains_per_program, mesh=mesh,
-                           interpret=interpret, kernel_fn=kernel_fn, worms=worms)
+                           interpret=interpret, kernel_fn=kernel_fn, worms=worms,
+                           max_worm_moves=max_worm_moves)
 
     rng = np.random.default_rng(seed)
     columns = None

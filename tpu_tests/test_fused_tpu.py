@@ -608,3 +608,39 @@ def test_fused_hammer_worm_changes_winding_sectors():
     flipped = int(hol0.sum() + hol1.sum())
     # 2B = 64 fair sector bits; < 8 odd ones would be a ~5-sigma fluke.
     assert flipped >= 8, f'only {flipped}/64 sectors moved'
+
+
+@requires_tpu
+def test_fused_hammer_worm_cap_truncation_rollback():
+    """max_worm_moves: a tiny cap forces frequent truncation; rollback must
+    keep the W=2 constraint exact on every chain, the truncation count must be
+    reported, and the capped chain must sample the same action density as the
+    uncapped one (the truncation-rollback kernel is exact for the fields)."""
+    from supervillain_tpu.ops.pallas_hammer import hammer_sweeps
+    N, B = 128, 32
+    kappa, iphi = 0.5, 0.7
+    S = sv.Villain(sv.Lattice2D(N), kappa, W=2)
+
+    out = {}
+    for tag, cap in (('uncapped', None), ('capped', 64)):
+        phi = jnp.zeros((B, 1, N, N), jnp.float32)
+        n = jnp.zeros((B, 2, N, N), jnp.int32)
+        phi, n, _, _ = hammer_sweeps(jnp.int32(71), phi, n, N=N, kappa=kappa,
+                                     W=2, interval_phi=iphi, interval_n=1,
+                                     sweeps=400, worms=2, p_n=0.05,
+                                     max_worm_moves=cap)
+        phi, n, acc, inline = hammer_sweeps(jnp.int32(72), phi, n, N=N,
+                                            kappa=kappa, W=2, interval_phi=iphi,
+                                            interval_n=1, sweeps=100, worms=2,
+                                            p_n=0.05, max_worm_moves=cap)
+        for b in range(0, B, 12):
+            assert S.valid({'n': np.asarray(n[b])}), tag
+        out[tag] = (np.asarray(_villain_density(S)(phi, n)),
+                    float(inline['Worm_Truncated'].sum()))
+
+    (da, ta), (db, tb) = out['uncapped'], out['capped']
+    assert ta == 0.0
+    assert tb > 0.0, 'a 64-move cap at L=128 must truncate some worms'
+    pull = abs(da.mean() - db.mean()) / np.hypot(da.std() / np.sqrt(B),
+                                                 db.std() / np.sqrt(B))
+    assert pull < 5, f'uncapped {da.mean()} vs capped {db.mean()}: pull {pull}'
