@@ -4,8 +4,9 @@
 local-update stack (checkerboarded Vortex + Coexact passes and a Wrapping pass) per
 call inside one Pallas TPU kernel (:mod:`supervillain_tpu.ops.pallas_worldline`),
 keeping (m, v, δv) resident in VMEM.  Same transition kernels as the XLA
-VortexUpdate/CoexactUpdate/WrappingUpdate; the worm is not included (compose with
-:class:`~.worldline.ClassicWorm` for ergodic tails and inline correlators).
+VortexUpdate/CoexactUpdate/WrappingUpdate.  :class:`FusedWorldlineWorm` runs the
+in-kernel worm alone, and :class:`FusedWorldlineHammer` composes the full
+reference worldline Hammer (vortex + coexact + wrapping + worm) in one launch.
 
 TPU-only (D=2, even N; finite W *and* W=∞ — at W=∞ the kernel runs float v with a
 continuous vortex proposal and _W = 2π): falls back to the XLA Sequentially stack
@@ -89,9 +90,11 @@ class FusedWorldlineWorm(Generator):
     .pallas_worldline_hammer.worldline_worms`): each chain's worm loop runs
     sequentially inside one Pallas program with the link residuals
     u = m − δv/_W VMEM-resident — no cross-chain lock-step, so a fleet step
-    costs mean (not max) worm work, and no ``max_moves`` truncation is needed
-    (worms run unbounded, so the inline ``Spin_Spin`` histogram carries no
-    truncation bias).  Same move semantics as
+    costs mean (not max) worm work and worms can run unbounded (truncation-
+    bias-free histograms; for long production launches in worm-heavy phases
+    pass ``max_worm_moves`` to :class:`FusedWorldlineHammer` — see
+    :mod:`..ops.pallas_worldline_hammer` on the watchdog hazard).  Same move
+    semantics as
     :class:`~.worldline.ClassicWorm` (statistical PRNG-stream difference
     only); works at any W including ∞.  TPU-only D=2; elsewhere falls back to
     the XLA worm."""
