@@ -196,8 +196,11 @@ def _scaling_summary(fast):
         except Exception as e:
             print(f'# scaling subprocess unavailable ({e}); using committed artifact',
                   flush=True)
+    import glob
+    committed = sorted(glob.glob(os.path.join(here, 'SCALING_r*.json')),
+                       reverse=True)
     data = None
-    for candidate in (out_path, os.path.join(here, 'SCALING_r03.json')):
+    for candidate in [out_path] + committed:
         try:
             with open(candidate) as f:
                 data = json.load(f)
@@ -209,6 +212,8 @@ def _scaling_summary(fast):
     return {
         'weak_scaling_virtual_cpu': data.get('weak_scaling'),
         'collectives_in_compiled_step': data.get('collectives_in_compiled_step'),
+        'collectives_in_space_sharded_step':
+            data.get('collectives_in_space_sharded_step'),
         'host_physical_cores': data.get('config', {}).get('host_physical_cores'),
         'note': data.get('note'),
     }

@@ -102,7 +102,7 @@ class FusedWorldlineWorm(Generator):
     name = 'ClassicWorm'
     fields = ('m', 'v')
 
-    def __init__(self, action, worms=1):
+    def __init__(self, action, worms=1, max_worm_moves=None):
         if not isinstance(action, Worldline):
             raise ValueError('Need a Worldline action')
         if action.Lattice.D != 2:
@@ -110,6 +110,7 @@ class FusedWorldlineWorm(Generator):
         self.Action = action
         self.Lattice = action.Lattice
         self.worms = int(worms)
+        self.max_worm_moves = None if max_worm_moves is None else int(max_worm_moves)
         self._fallback = None
         if jax.default_backend() in ('cpu',):
             worm = ClassicWorm(action)
@@ -131,7 +132,8 @@ class FusedWorldlineWorm(Generator):
         v = cfg['v'].astype(jnp.float32 if winf else jnp.int32)[None]
         m_out, hist, wl = worldline_worms(seed, m, v, N=L.N, kappa=S.kappa,
                                           W=S.W if winf else int(S.W),
-                                          worms=self.worms)
+                                          worms=self.worms,
+                                          max_worm_moves=self.max_worm_moves)
         stats = self._tally(stats, wl[0], wl[0], jnp.ones((), jnp.float32),
                             sweeps=float(self.worms))
         out = dict(cfg)

@@ -13,7 +13,9 @@ import pytest
 import supervillain_tpu as sv
 from supervillain_tpu.generators import villain as gv, worldline as gw
 
-WS = (1, 2)
+# The reference grid is W ∈ {1, 2}; W=3 extends the battery to an odd
+# constraint (different Z_W sector structure) at the same κ/N grid.
+WS = (1, 2, 3)
 KAPPAS = (0.4, 0.5, 0.6)
 NS = (3, 4, 7, 8)
 SWEEP = [(N, kappa, W) for W in WS for kappa in KAPPAS for N in NS]

@@ -622,7 +622,7 @@ def test_fused_hammer_worm_cap_truncation_rollback():
     S = sv.Villain(sv.Lattice2D(N), kappa, W=2)
 
     out = {}
-    for tag, cap in (('uncapped', None), ('capped', 64)):
+    for tag, cap in (('uncapped', None), ('capped', 8)):
         phi = jnp.zeros((B, 1, N, N), jnp.float32)
         n = jnp.zeros((B, 2, N, N), jnp.int32)
         phi, n, _, _ = hammer_sweeps(jnp.int32(71), phi, n, N=N, kappa=kappa,
@@ -640,7 +640,7 @@ def test_fused_hammer_worm_cap_truncation_rollback():
 
     (da, ta), (db, tb) = out['uncapped'], out['capped']
     assert ta == 0.0
-    assert tb > 0.0, 'a 64-move cap at L=128 must truncate some worms'
+    assert tb > 0.0, 'an 8-move cap must truncate some worms'
     pull = abs(da.mean() - db.mean()) / np.hypot(da.std() / np.sqrt(B),
                                                  db.std() / np.sqrt(B))
     assert pull < 5, f'uncapped {da.mean()} vs capped {db.mean()}: pull {pull}'
