@@ -106,20 +106,21 @@ def _fused_rate(jnp, fn, L, B, sweeps, reps, kappa, cpp=1):
     return reps * B * L * L * sweeps / elapsed, elapsed
 
 
-def _worldline_rate(jnp, L, B, sweeps, reps, kappa, W=2):
+def _worldline_rate(jnp, L, B, sweeps, reps, kappa, W=2, cpp=1):
     """Worldline fused-stack su/s: one su = one site through the full
     vortex+coexact+wrapping sweep stack.  Same timing discipline as
-    :func:`_fused_rate` (warmup launch, chained launches, host-readback gate)."""
+    :func:`_fused_rate` (warmup launch, chained launches, host-readback gate).
+    ``cpp`` packs chains per program (interleaved layout) at small L."""
     from supervillain_tpu.ops.pallas_worldline import worldline_sweeps
     m = jnp.zeros((B, 2, L, L), jnp.int32)
     v = jnp.zeros((B, 1, L, L), jnp.int32)
     m, v, acc = worldline_sweeps(jnp.int32(1), m, v, N=L, kappa=kappa, W=W,
-                                 sweeps=sweeps)
+                                 sweeps=sweeps, chains_per_program=cpp)
     float(acc.sum())
     start = time.perf_counter()
     for k in range(reps):
         m, v, acc = worldline_sweeps(jnp.int32(2 + k), m, v, N=L, kappa=kappa,
-                                     W=W, sweeps=sweeps)
+                                     W=W, sweeps=sweeps, chains_per_program=cpp)
     float(acc.sum())
     elapsed = time.perf_counter() - start
     return reps * B * L * L * sweeps / elapsed, elapsed
@@ -279,9 +280,10 @@ def main():
 
         wl_table = {}
         if not fast:
-            for (Lx, Bx) in ((64, 1024), (128, 512), (512, 64), (1024, 16)):
+            for (Lx, Bx, cppx) in ((64, 1024, 16), (128, 512, 4), (512, 64, 1),
+                                   (1024, 16, 1)):
                 wl_table[f'L={Lx}'] = wl_median(3, Lx, Bx, sweeps=50, reps=3,
-                                                kappa=kappa)
+                                                kappa=kappa, cpp=cppx)
         wl_rate = wl_median(k_samples, N, chains, sweeps=50, reps=3, kappa=kappa)
         wl_table[f'L={N}'] = wl_rate
 

@@ -50,12 +50,20 @@ def _coface(f0, f1):
     return f0 + _roll(f0, -1, 1) + f1 + _roll(f1, -1, 0)
 
 
-def _monolithic_passes(N, kappa, W, interval_v, interval_t, interval_w):
+def _monolithic_passes(N, kappa, W, interval_v, interval_t, interval_w,
+                       C0=1, C1=1):
     """Build the (vortex, coexact, wrapping) pass closures over whole-lattice
     state ``(m0, m1, v, dv0, dv1, acc)``.  Must be called *inside* a kernel
     body (the closures trace iotas/PRNG ops).  Shared by the worldline sweep
     kernel below and the worldline hammer kernel
     (:mod:`.pallas_worldline_hammer`).
+
+    ``C0``/``C1`` > 1 select the *interleaved* chain packing of
+    :func:`..pallas_sweep._make_kernel` (row = t·C0 + chain_row, lane =
+    x·C1 + chain_col) so small lattices fill the 128 vector lanes: all δ /
+    coface stencils become strided rolls, and the wrapping pass's per-cycle ΔS
+    sums become C0 (resp. C1) row-offset-masked reductions (cycles of
+    different chains interleave along the summed axis).
 
     W = inf selects the W=∞ action: v is a float field, the vortex proposal
     is continuous U(-interval_v, +interval_v), and the action's internal
@@ -65,10 +73,19 @@ def _monolithic_passes(N, kappa, W, interval_v, interval_t, interval_w):
     kappa = np.float32(kappa)
     inv2k = np.float32(0.5 / kappa)
     fW = np.float32(2 * np.pi) if winf else np.float32(W)
+    shape = (C0 * N, C1 * N)
 
-    it = jax.lax.broadcasted_iota(jnp.int32, (N, N), 0)
-    ix = jax.lax.broadcasted_iota(jnp.int32, (N, N), 1)
-    parity = (it + ix) % 2
+    row = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+    parity = (row // C0 + lane // C1) % 2
+
+    def delta2(v):
+        d0 = v - _roll(v, C1, 1)
+        d1 = -(v - _roll(v, C0, 0))
+        return d0, d1
+
+    def coface(f0, f1):
+        return f0 + _roll(f0, -C1, 1) + f1 + _roll(f1, -C0, 0)
 
     def links(m0, m1, dv0, dv1):
         return (m0.astype(jnp.float32) - dv0 / fW,
@@ -78,20 +95,20 @@ def _monolithic_passes(N, kappa, W, interval_v, interval_t, interval_w):
         m0, m1, v, dv0, dv1, acc = state
         imask = jnp.where(parity == color, 1, 0)
         if winf:
-            dvv = (2.0 * _uniform((N, N)) - 1.0) * np.float32(interval_v) \
+            dvv = (2.0 * _uniform(shape) - 1.0) * np.float32(interval_v) \
                 * imask.astype(jnp.float32)
         else:
-            dvv = _int_nonzero((N, N), interval_v) * imask
-        c0, c1 = _delta2(dvv)
+            dvv = _int_nonzero(shape, interval_v) * imask
+        c0, c1 = delta2(dvv)
         c0f = c0.astype(jnp.float32) / fW
         c1f = c1.astype(jnp.float32) / fW
         l0, l1 = links(m0, m1, dv0, dv1)
         t0 = inv2k * (-c0f) * (2.0 * l0 - c0f)
         t1 = inv2k * (-c1f) * (2.0 * l1 - c1f)
-        dS = _coface(t0, t1)
-        accept = jnp.where(_uniform((N, N)) < _exp_neg(dS), 1, 0) * imask
+        dS = coface(t0, t1)
+        accept = jnp.where(_uniform(shape) < _exp_neg(dS), 1, 0) * imask
         applied = dvv * accept
-        a0, a1 = _delta2(applied)
+        a0, a1 = delta2(applied)
         v = v + applied
         dv0 = dv0 + a0.astype(jnp.float32)
         dv1 = dv1 + a1.astype(jnp.float32)
@@ -101,15 +118,15 @@ def _monolithic_passes(N, kappa, W, interval_v, interval_t, interval_w):
     def coexact_pass(color, state):
         m0, m1, v, dv0, dv1, acc = state
         imask = jnp.where(parity == color, 1, 0)
-        t = _int_nonzero((N, N), interval_t) * imask
-        c0, c1 = _delta2(t)
+        t = _int_nonzero(shape, interval_t) * imask
+        c0, c1 = delta2(t)
         l0, l1 = links(m0, m1, dv0, dv1)
         t0 = inv2k * c0.astype(jnp.float32) * (2.0 * l0 + c0.astype(jnp.float32))
         t1 = inv2k * c1.astype(jnp.float32) * (2.0 * l1 + c1.astype(jnp.float32))
-        dS = _coface(t0, t1)
-        accept = jnp.where(_uniform((N, N)) < _exp_neg(dS), 1, 0) * imask
+        dS = coface(t0, t1)
+        accept = jnp.where(_uniform(shape) < _exp_neg(dS), 1, 0) * imask
         applied = t * accept
-        a0, a1 = _delta2(applied)
+        a0, a1 = delta2(applied)
         m0 = m0 + a0
         m1 = m1 + a1
         acc = acc + jnp.sum(accept.astype(jnp.float32))
@@ -118,19 +135,41 @@ def _monolithic_passes(N, kappa, W, interval_v, interval_t, interval_w):
     def wrapping_pass(state):
         m0, m1, v, dv0, dv1, acc = state
         l0, l1 = links(m0, m1, dv0, dv1)
-        # mu = 0: one proposal per column (constant along axis 0).
-        c0 = jnp.broadcast_to(_int_nonzero((1, N), interval_w), (N, N))
-        dS0 = jnp.sum(inv2k * c0.astype(jnp.float32) * (2.0 * l0 + c0.astype(jnp.float32)),
-                      axis=0, keepdims=True)
-        acc0 = jnp.where(_uniform((1, N)) < _exp_neg(dS0), 1, 0)
-        m0 = m0 + c0 * jnp.broadcast_to(acc0, (N, N))
-        # mu = 1: one proposal per row (constant along axis 1).
-        c1 = jnp.broadcast_to(_int_nonzero((N, 1), interval_w), (N, N))
-        dS1 = jnp.sum(inv2k * c1.astype(jnp.float32) * (2.0 * l1 + c1.astype(jnp.float32)),
-                      axis=1, keepdims=True)
-        acc1 = jnp.where(_uniform((N, 1)) < _exp_neg(dS1), 1, 0)
-        m1 = m1 + c1 * jnp.broadcast_to(acc1, (N, N))
-        acc = acc + jnp.sum(acc0.astype(jnp.float32)) + jnp.sum(acc1.astype(jnp.float32))
+        # mu = 0: one ± proposal per (column cycle, chain-row offset).  Cycles
+        # of different chain rows interleave along axis 0, so each offset's ΔS
+        # is a row-masked reduction (C0 static unrolled; C0 = 1 reduces to the
+        # plain keepdims sum).
+        for c0_off in range(C0):
+            c0p = jnp.broadcast_to(_int_nonzero((1, C1 * N), interval_w), shape)
+            c0f = c0p.astype(jnp.float32)
+            rmask = jnp.where(row % C0 == c0_off, 1, 0) if C0 > 1 else None
+            t0 = inv2k * c0f * (2.0 * l0 + c0f)
+            if rmask is not None:
+                t0 = t0 * rmask.astype(jnp.float32)
+            dS0 = jnp.sum(t0, axis=0, keepdims=True)
+            acc0 = jnp.where(_uniform((1, C1 * N)) < _exp_neg(dS0), 1, 0)
+            shift0 = c0p * jnp.broadcast_to(acc0, shape)
+            if rmask is not None:
+                shift0 = shift0 * rmask
+            # (No l0 update needed: different row offsets propose on disjoint
+            # rows, and the masked ΔS sums only read their own rows.)
+            m0 = m0 + shift0
+            acc = acc + jnp.sum(acc0.astype(jnp.float32))
+        # mu = 1: one ± proposal per (row cycle, chain-col offset).
+        for c1_off in range(C1):
+            c1p = jnp.broadcast_to(_int_nonzero((C0 * N, 1), interval_w), shape)
+            c1f = c1p.astype(jnp.float32)
+            lmask = jnp.where(lane % C1 == c1_off, 1, 0) if C1 > 1 else None
+            t1 = inv2k * c1f * (2.0 * l1 + c1f)
+            if lmask is not None:
+                t1 = t1 * lmask.astype(jnp.float32)
+            dS1 = jnp.sum(t1, axis=1, keepdims=True)
+            acc1 = jnp.where(_uniform((C0 * N, 1)) < _exp_neg(dS1), 1, 0)
+            shift1 = c1p * jnp.broadcast_to(acc1, shape)
+            if lmask is not None:
+                shift1 = shift1 * lmask
+            m1 = m1 + shift1
+            acc = acc + jnp.sum(acc1.astype(jnp.float32))
         return m0, m1, v, dv0, dv1, acc
 
     def sweep(s, state):
@@ -144,22 +183,25 @@ def _monolithic_passes(N, kappa, W, interval_v, interval_t, interval_w):
     return sweep
 
 
-def _make_kernel(N, kappa, W, interval_v, interval_t, interval_w, sweeps):
+def _make_kernel(N, kappa, W, interval_v, interval_t, interval_w, sweeps,
+                 C0=1, C1=1):
     """Monolithic whole-lattice kernel (N ≤ 256): ``sweeps`` iterations of the
-    full local-update stack built by :func:`_monolithic_passes`."""
+    full local-update stack built by :func:`_monolithic_passes`, optionally
+    over a (C0, C1) interleaved chain pack."""
 
     def kernel(seed_ref, m_ref, v_ref, m_out, v_out, acc_out):
         chain = pl.program_id(0)
         pltpu.prng_seed(seed_ref[0] + chain * np.int32(2654435761 & 0x7FFFFFFF))
 
-        sweep = _monolithic_passes(N, kappa, W, interval_v, interval_t, interval_w)
+        sweep = _monolithic_passes(N, kappa, W, interval_v, interval_t,
+                                   interval_w, C0=C0, C1=C1)
 
         m0 = m_ref[0, 0]
         m1 = m_ref[0, 1]
         v = v_ref[0, 0]
-        dv0, dv1 = _delta2(v)
-        dv0 = dv0.astype(jnp.float32)
-        dv1 = dv1.astype(jnp.float32)
+        # δv on the packed layout: per-chain periodic shifts are strided rolls.
+        dv0 = (v - _roll(v, C1, 1)).astype(jnp.float32)
+        dv1 = (-(v - _roll(v, C0, 0))).astype(jnp.float32)
 
         m0, m1, v, dv0, dv1, acc = jax.lax.fori_loop(
             0, sweeps, sweep, (m0, m1, v, dv0, dv1, jnp.float32(0.0)))
@@ -345,9 +387,11 @@ def _strip_rows(N):
 
 
 @partial(jax.jit, static_argnames=('N', 'kappa', 'W', 'interval_v', 'interval_t',
-                                   'interval_w', 'sweeps', 'interpret', 'force_strips'))
+                                   'interval_w', 'sweeps', 'chains_per_program',
+                                   'interpret', 'force_strips'))
 def worldline_sweeps(seed, m, v, *, N, kappa, W, interval_v=1, interval_t=1,
-                     interval_w=1, sweeps=1, interpret=False, force_strips=False):
+                     interval_w=1, sweeps=1, chains_per_program=1,
+                     interpret=False, force_strips=False):
     """Run ``sweeps`` fused worldline local-update sweeps on a chain batch.
 
     Parameters
@@ -356,35 +400,78 @@ def worldline_sweeps(seed, m, v, *, N, kappa, W, interval_v=1, interval_t=1,
     m: (B, 2, N, N) int32
     v: (B, 1, N, N) int32 (finite W) or float32 (W = inf)
 
+    ``chains_per_program`` > 1 packs chains per program in the interleaved
+    layout (monolithic kernel only) so small lattices fill the vector lanes —
+    same packing as :func:`..pallas_sweep.neighborhood_sweeps`.
+
     Returns
     -------
-    (m, v, accepted): updated fields and per-chain accepted counts (B,).
+    (m, v, accepted): updated fields and per-program accepted counts
+    (B / chains_per_program,).
     """
     B = m.shape[0]
     vdt = jnp.float32 if W == float('inf') else jnp.int32
     v = v.astype(vdt)
-    m_spec = pl.BlockSpec((1, 2, N, N), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM)
-    v_spec = pl.BlockSpec((1, 1, N, N), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM)
     a_spec = pl.BlockSpec((1, 8, 128), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
     if N >= STRIP_THRESHOLD or force_strips:
+        m_spec = pl.BlockSpec((1, 2, N, N), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM)
+        v_spec = pl.BlockSpec((1, 1, N, N), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM)
         kernel = _make_strip_kernel(N, _strip_rows(N), kappa, W, interval_v,
                                     interval_t, interval_w, sweeps)
-        scratch = [pltpu.VMEM((N, N), jnp.float32), pltpu.VMEM((N, N), jnp.float32)]
-        params = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
-    else:
-        kernel = _make_kernel(N, kappa, W, interval_v, interval_t, interval_w, sweeps)
-        scratch = []
-        params = None
+        out_m, out_v, acc = pl.pallas_call(
+            kernel,
+            grid=(B,),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM), m_spec, v_spec],
+            out_specs=(m_spec, v_spec, a_spec),
+            out_shape=(jax.ShapeDtypeStruct(m.shape, jnp.int32),
+                       jax.ShapeDtypeStruct(v.shape, vdt),
+                       jax.ShapeDtypeStruct((B, 8, 128), jnp.float32)),
+            scratch_shapes=[pltpu.VMEM((N, N), jnp.float32),
+                            pltpu.VMEM((N, N), jnp.float32)],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024),
+            interpret=interpret,
+        )(jnp.asarray(seed, jnp.int32).reshape(1), m, v)
+        return out_m, out_v, acc[:, 0, 0]
+
+    C = chains_per_program
+    if B % C != 0:
+        raise ValueError(f'{B} chains not divisible by chains_per_program={C}')
+    G = B // C
+    C1 = min(C, max(1, 128 // N))
+    while C % C1 != 0:
+        C1 -= 1
+    C0 = C // C1
+    R, CN = C0 * N, C1 * N
+
+    def pack(x):
+        k = x.shape[1]
+        return (x.reshape(G, C0, C1, k, N, N).transpose(0, 3, 4, 1, 5, 2)
+                .reshape(G, k, R, CN))
+
+    def unpack(x):
+        k = x.shape[1]
+        return (x.reshape(G, k, N, C0, N, C1).transpose(0, 3, 5, 1, 2, 4)
+                .reshape(B, k, N, N))
+
+    m_p = pack(m) if C > 1 else m
+    v_p = pack(v) if C > 1 else v
+
+    kernel = _make_kernel(N, kappa, W, interval_v, interval_t, interval_w,
+                          sweeps, C0=C0, C1=C1)
+    m_spec = pl.BlockSpec((1, 2, R, CN), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM)
+    v_spec = pl.BlockSpec((1, 1, R, CN), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM)
     out_m, out_v, acc = pl.pallas_call(
         kernel,
-        grid=(B,),
+        grid=(G,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM), m_spec, v_spec],
         out_specs=(m_spec, v_spec, a_spec),
-        out_shape=(jax.ShapeDtypeStruct(m.shape, jnp.int32),
-                   jax.ShapeDtypeStruct(v.shape, vdt),
-                   jax.ShapeDtypeStruct((B, 8, 128), jnp.float32)),
-        scratch_shapes=scratch,
-        **({'compiler_params': params} if params is not None else {}),
+        out_shape=(jax.ShapeDtypeStruct(m_p.shape, jnp.int32),
+                   jax.ShapeDtypeStruct(v_p.shape, vdt),
+                   jax.ShapeDtypeStruct((G, 8, 128), jnp.float32)),
         interpret=interpret,
-    )(jnp.asarray(seed, jnp.int32).reshape(1), m, v)
+    )(jnp.asarray(seed, jnp.int32).reshape(1), m_p, v_p)
+    if C > 1:
+        out_m = unpack(out_m)
+        out_v = unpack(out_v)
     return out_m, out_v, acc[:, 0, 0]

@@ -233,3 +233,64 @@ def test_sample_fused_fleet_worldline():
                                 keep_fields=False)
     assert fleet0.columns['ActionDensity'].shape == (2, 8)
     assert np.isfinite(fleet0.columns['ActionDensity']).all()
+
+
+def test_worldline_packed_kernel_matches_unpacked():
+    """Interleaved chain packing in the worldline sweep kernel (round 4, for
+    L<128): the packed and unpacked kernels must sample the same distribution,
+    keep δm = 0, and agree on acceptance rates."""
+    from supervillain_tpu.ops.pallas_worldline import worldline_sweeps
+    N, B = 64, 64
+    kappa = 0.5
+    L = sv.Lattice2D(N)
+    S = sv.Worldline(L, kappa, W=2)
+    dens = _worldline_density(S)
+
+    out = {}
+    for tag, cpp in (('unpacked', 1), ('packed', 4)):
+        m = jnp.zeros((B, 2, N, N), jnp.int32)
+        v = jnp.zeros((B, 1, N, N), jnp.int32)
+        m, v, _ = worldline_sweeps(jnp.int32(15), m, v, N=N, kappa=kappa, W=2,
+                                   sweeps=100, chains_per_program=cpp)
+        m, v, acc = worldline_sweeps(jnp.int32(16), m, v, N=N, kappa=kappa,
+                                     W=2, sweeps=50, chains_per_program=cpp)
+        assert int(jnp.abs(_deltam(L, m)).max()) == 0, tag
+        # acc is per *program*: normalize to a per-proposal rate.
+        proposals = (2 * N * N + 2 * N) * 50 * B
+        out[tag] = (np.asarray(dens(m, v)), float(acc.sum()) / proposals)
+
+    (da, ra), (db, rb) = out['unpacked'], out['packed']
+    assert abs(ra - rb) < 0.01, f'acceptance {ra} vs {rb}'
+    pull = abs(da.mean() - db.mean()) / np.hypot(da.std() / np.sqrt(B),
+                                                 db.std() / np.sqrt(B))
+    assert pull < 5, f'unpacked {da.mean()} vs packed {db.mean()}: pull {pull}'
+
+
+def test_worldline_packed_kernel_winf():
+    """Packed z-mode: float v, δm = 0 exact, matches unpacked at the self-dual
+    coupling."""
+    from supervillain_tpu.ops.pallas_worldline import worldline_sweeps
+    N, B = 64, 64
+    kappa = float(0.5 / np.pi)
+    L = sv.Lattice2D(N)
+    S = sv.Worldline(L, kappa, W=float('inf'))
+    dens = _worldline_density(S)
+
+    out = {}
+    for tag, cpp in (('unpacked', 1), ('packed', 4)):
+        m = jnp.zeros((B, 2, N, N), jnp.int32)
+        v = jnp.zeros((B, 1, N, N), jnp.float32)
+        m, v, _ = worldline_sweeps(jnp.int32(17), m, v, N=N, kappa=kappa,
+                                   W=float('inf'), interval_v=0.7, sweeps=100,
+                                   chains_per_program=cpp)
+        m, v, acc = worldline_sweeps(jnp.int32(18), m, v, N=N, kappa=kappa,
+                                     W=float('inf'), interval_v=0.7, sweeps=50,
+                                     chains_per_program=cpp)
+        assert int(jnp.abs(_deltam(L, m)).max()) == 0, tag
+        assert float(jnp.abs(v).max()) > 0, tag
+        out[tag] = np.asarray(dens(m, v))
+
+    da, db = out['unpacked'], out['packed']
+    pull = abs(da.mean() - db.mean()) / np.hypot(da.std() / np.sqrt(B),
+                                                 db.std() / np.sqrt(B))
+    assert pull < 5, f'unpacked {da.mean()} vs packed {db.mean()}: pull {pull}'
