@@ -84,7 +84,28 @@ def main():
         print(f'# chains={B} not divisible by the N={N} packing factor '
               f'{max(1, 128 // N)}; falling back to worms=0 (sweeps only)')
         worms = 0
-    if on_tpu and worms > 0:
+    if on_tpu and worms > 0 and N > 256:
+        # Above the hammer's monolithic envelope: compose the strip-chunked
+        # sweep kernel with the standalone worm kernel (two launches per
+        # record instead of one; same sampling, same 64·N² worm cap).
+        from supervillain_tpu.ops.pallas_sweep import (neighborhood_sweeps
+                                                       as _sweeps_only)
+        from supervillain_tpu.ops.pallas_worm import classic_worms
+
+        def neighborhood_sweeps(seed, phi, n, *, N, kappa, W, interval_phi,
+                                interval_n, sweeps, p_n=None):
+            phi, n, acc, inline = _sweeps_only(
+                seed, phi, n, N=N, kappa=kappa, W=W, interval_phi=interval_phi,
+                interval_n=interval_n, sweeps=sweeps, p_n=p_n)
+            w = max(1, (worms * sweeps) // max(args.thin, 1))
+            n, hist, wl = classic_worms(seed + jnp.int32(1), phi, n, N=N,
+                                        kappa=kappa, W=W, worms=w,
+                                        max_worm_moves=64 * N * N)
+            inline = dict(inline)
+            inline['Vortex_Vortex'] = hist
+            inline['Worm_Length'] = wl
+            return phi, n, acc, inline
+    elif on_tpu and worms > 0:
         # Fused Hammer: sweeps + in-kernel worms in one launch.  At N < 128
         # chains are packed 128/N per program so the worm section fills the lanes.
         from supervillain_tpu.ops.pallas_hammer import hammer_sweeps

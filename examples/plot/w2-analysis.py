@@ -20,7 +20,9 @@ from supervillain_tpu.analysis.scaling import (effective_exponent,
                                                crossing_estimate)
 
 ROOT = pathlib.Path(__file__).resolve().parents[2]
-LS = (64, 128, 256)
+LS = tuple(L for L in (64, 128, 256, 512)
+           if (pathlib.Path(__file__).resolve().parents[2]
+               / f'results/bkt-scan-W2-L{L}.h5').exists())
 W = 2
 DeltaS = W ** 2 / 8          # 0.5
 DeltaV = 2 / W ** 2          # 0.5
@@ -44,46 +46,54 @@ def load(L):
 
 def main():
     data = {L: load(L) for L in LS}
-    kappas = sorted(set.intersection(*(set(d) for d in data.values())))
+    kappas = sorted(set.union(*(set(d) for d in data.values())))
 
+    pairs = list(zip(LS[:-1], LS[1:]))
     print(f'# W=2: Delta_spin = {DeltaS}, Delta_vortex = {DeltaV} '
           f'(the exponent pair is self-dual at W=2: both scale chi/L)')
     print(f'{"κ":>6} ' + ' '.join(f'{f"χS/L (L={L})":>16}' for L in LS)
-          + f' {"η_eff(64→128)":>14} {"η_eff(128→256)":>15} {"sect":>5}')
-    eta_rows = {}
+          + ' '.join(f' {f"η_eff({La}→{Lb})":>15}' for La, Lb in pairs)
+          + f' {"sect":>5}')
     for k in kappas:
         cells = []
         for L in LS:
-            m, e = data[L][k]['chi_scaled']
-            cells.append(f'{m:>11.4g}({e:.2g})')
-        m1, e1 = data[64][k]['chi_scaled']
-        m2, e2 = data[128][k]['chi_scaled']
-        m3, e3 = data[256][k]['chi_scaled']
-        _, eta12 = effective_exponent(64, m1 * 64, 128, m2 * 128)
-        err12 = effective_exponent_error(64, m1 * 64, e1 * 64, 128, m2 * 128, e2 * 128)
-        _, eta23 = effective_exponent(128, m2 * 128, 256, m3 * 256)
-        err23 = effective_exponent_error(128, m2 * 128, e2 * 128, 256, m3 * 256, e3 * 256)
-        eta_rows[k] = (eta12, err12, eta23, err23)
-        sect = data[64][k].get('sect', float('nan'))
+            if k in data[L]:
+                m, e = data[L][k]['chi_scaled']
+                cells.append(f'{m:>11.4g}({e:.2g})')
+            else:
+                cells.append(f'{"—":>16}')
+        etas = []
+        for La, Lb in pairs:
+            if k not in data[La] or k not in data[Lb]:
+                etas.append(f'{"—":>15}')
+                continue
+            ma, ea = data[La][k]['chi_scaled']
+            mb, eb = data[Lb][k]['chi_scaled']
+            _, eta = effective_exponent(La, ma * La, Lb, mb * Lb)
+            err = effective_exponent_error(La, ma * La, ea * La, Lb, mb * Lb, eb * Lb)
+            etas.append(f'{eta:>9.3f}({err:.3f})')
+        sect = data[LS[0]][k].get('sect', float('nan'))
         print(f'{k:>6.2f} ' + ' '.join(f'{c:>16}' for c in cells)
-              + f' {eta12:>9.3f}({err12:.3f}) {eta23:>10.3f}({err23:.3f})'
-              + f' {sect:>5.2f}')
+              + ' '.join(etas) + f' {sect:>5.2f}')
 
-    for (La, Lb) in ((64, 128), (128, 256)):
-        ks = np.array(kappas)
-        a = np.array([data[La][k]['chi_scaled'][0] for k in kappas])
-        b = np.array([data[Lb][k]['chi_scaled'][0] for k in kappas])
-        x = crossing_estimate(ks, {La: a, Lb: b})
+    for (La, Lb) in pairs:
+        ks = [k for k in kappas if k in data[La] and k in data[Lb]]
+        a = np.array([data[La][k]['chi_scaled'][0] for k in ks])
+        b = np.array([data[Lb][k]['chi_scaled'][0] for k in ks])
+        x = crossing_estimate(np.array(ks), {La: a, Lb: b})
         print(f'crossing({La},{Lb}) at κ = '
               + (f'{x:.4f}' if x is not None else 'none in window'))
 
-    if all('chiV_scaled' in data[L][kappas[0]] for L in LS):
+    if any('chiV_scaled' in row for d in data.values() for row in d.values()):
         print(f'\n{"κ":>6} ' + ' '.join(f'{f"χV/L (L={L})":>16}' for L in LS))
         for k in kappas:
             cells = []
             for L in LS:
-                m, e = data[L][k]['chiV_scaled']
-                cells.append(f'{m:>11.4g}({e:.2g})')
+                if k in data[L] and 'chiV_scaled' in data[L][k]:
+                    m, e = data[L][k]['chiV_scaled']
+                    cells.append(f'{m:>11.4g}({e:.2g})')
+                else:
+                    cells.append(f'{"—":>16}')
             print(f'{k:>6.2f} ' + ' '.join(f'{c:>16}' for c in cells))
 
 

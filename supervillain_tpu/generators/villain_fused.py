@@ -265,7 +265,7 @@ class FusedClassicWorm(Generator):
     name = 'ClassicWorm'
     fields = ('phi', 'n')
 
-    def __init__(self, action, worms=1):
+    def __init__(self, action, worms=1, max_worm_moves=None):
         if not isinstance(action, Villain):
             raise ValueError('Need a Villain action')
         if action.Lattice.D != 2:
@@ -273,6 +273,7 @@ class FusedClassicWorm(Generator):
         self.Action = action
         self.Lattice = action.Lattice
         self.worms = int(worms)
+        self.max_worm_moves = None if max_worm_moves is None else int(max_worm_moves)
         self._fallback = None
         if jax.default_backend() in ('cpu',):
             from .villain import ClassicWorm
@@ -295,7 +296,8 @@ class FusedClassicWorm(Generator):
         n = cfg['n'].astype(jnp.int32)[None]
         n_out, hist, wl = classic_worms(seed, phi, n, N=L.N, kappa=S.kappa,
                                         W=1 if S.W == 1 else int(S.W),
-                                        worms=self.worms)
+                                        worms=self.worms,
+                                        max_worm_moves=self.max_worm_moves)
         stats = self._tally(stats, wl[0], wl[0], jnp.ones((), jnp.float32),
                             sweeps=float(self.worms))
         out = dict(cfg)

@@ -40,10 +40,15 @@ TWO_PI = np.float32(2 * np.pi)
 _GOLD = np.int32(2654435761 & 0x7FFFFFFF)
 
 
-def _make_worm_kernel(N, NP, kappa, W, worms):
+def _make_worm_kernel(N, NP, kappa, W, worms, worm_cap=None):
     """NP >= N is the lane-padded row length (Mosaic tiles the minor dimension
     to 128; all row slices must have that physical width).  Lattice data lives
-    in lanes [0, N); the pad lanes hold zeros and are never addressed."""
+    in lanes [0, N); the pad lanes hold zeros and are never addressed.
+
+    ``worm_cap``: optional per-worm move bound with exact truncation-rollback
+    (snapshot scratch; see :mod:`.pallas_hammer` — unbounded worm-length tails
+    can outlive the TPU runtime watchdog).  At W=1 the open configuration is
+    valid and kept."""
     kappa = np.float32(kappa)
     closed_always = (W == 1)
 
@@ -63,7 +68,8 @@ def _make_worm_kernel(N, NP, kappa, W, worms):
             out = jnp.where(choice == c, jnp.int32(table[c]), out)
         return out
 
-    def kernel(seed_ref, dphi_ref, n_ref, n_out, hist_ref, stat_ref, r0_s, r1_s):
+    def kernel(seed_ref, dphi_ref, n_ref, n_out, hist_ref, stat_ref, r0_s, r1_s,
+               *snap):
         chain = pl.program_id(0)
         pltpu.prng_seed(seed_ref[0] + chain * _GOLD)
 
@@ -102,6 +108,12 @@ def _make_worm_kernel(N, NP, kappa, W, worms):
             ref[pl.ds(i, 1), :] = row + jnp.where(lane1 == j, val, jnp.zeros_like(row))
 
         def worm_body(w, carry):
+            if worm_cap is not None and not closed_always:
+                ns0, ns1, rs0, rs1 = snap
+                ns0[:] = n_out[0, 0]
+                ns1[:] = n_out[0, 1]
+                rs0[:] = r0_s[:]
+                rs1[:] = r1_s[:]
             w0, w1, w2, w3 = draws()
             orientation = jnp.where(w0 > 0, jnp.int32(1), jnp.int32(-1))
             tail_t = rand_site(w1)
@@ -116,10 +128,13 @@ def _make_worm_kernel(N, NP, kappa, W, worms):
                 head0_t, head0_x = tail_t, tail_x
 
             def cond(state):
-                return state[0] == 0
+                open_ = state[0] == 0
+                if worm_cap is not None:
+                    open_ = open_ & (state[3] < worm_cap)
+                return open_
 
             def body(state):
-                _, head_t, head_x = state
+                _, head_t, head_x, moves = state
                 c0, c1, c2, _ = draws()
                 u_close = unif(c0)
                 choice = jax.lax.bitwise_and(c1, jnp.int32(3))
@@ -162,25 +177,43 @@ def _make_worm_kernel(N, NP, kappa, W, worms):
                     dx = jax.lax.rem(head_x - tail_x + N, jnp.int32(N))
                     add1(hist_ref.at[0], dt, dx, np.float32(1.0))
 
-                return jnp.where(close_now, jnp.int32(1), jnp.int32(0)), head_t, head_x
+                return (jnp.where(close_now, jnp.int32(1), jnp.int32(0)),
+                        head_t, head_x, moves + 1)
 
-            jax.lax.while_loop(cond, body, (jnp.int32(0), head0_t, head0_x))
+            done, _, _, _ = jax.lax.while_loop(
+                cond, body, (jnp.int32(0), head0_t, head0_x, jnp.int32(0)))
+
+            if worm_cap is not None and not closed_always:
+                truncated = done == 0
+
+                @pl.when(truncated)
+                def _():
+                    ns0, ns1, rs0, rs1 = snap
+                    n_out[0, 0] = ns0[:]
+                    n_out[0, 1] = ns1[:]
+                    r0_s[:] = rs0[:]
+                    r1_s[:] = rs1[:]
+
+                carry = carry + jnp.where(truncated, jnp.int32(1), jnp.int32(0))
             return carry
 
-        jax.lax.fori_loop(0, worms, worm_body, jnp.int32(0))
+        truncations = jax.lax.fori_loop(0, worms, worm_body, jnp.int32(0))
 
         length = jnp.sum(hist_ref[0])
         stat_ref[0] = jnp.concatenate([
             jnp.full((1, 128), length, jnp.float32),
             jnp.full((1, 128), np.float32(worms), jnp.float32),
-            jnp.zeros((6, 128), jnp.float32),
+            jnp.full((1, 128), truncations.astype(jnp.float32), jnp.float32),
+            jnp.zeros((5, 128), jnp.float32),
         ], axis=0)
 
     return kernel
 
 
-@partial(jax.jit, static_argnames=('N', 'kappa', 'W', 'worms', 'interpret'))
-def classic_worms(seed, phi, n, *, N, kappa, W, worms=1, interpret=False):
+@partial(jax.jit, static_argnames=('N', 'kappa', 'W', 'worms', 'max_worm_moves',
+                                   'interpret'))
+def classic_worms(seed, phi, n, *, N, kappa, W, worms=1, max_worm_moves=None,
+                  interpret=False):
     """Run ``worms`` whole classic worms per chain inside one Pallas launch.
 
     Parameters
@@ -208,7 +241,15 @@ def classic_worms(seed, phi, n, *, N, kappa, W, worms=1, interpret=False):
     else:
         n_in = n.astype(jnp.int32)
 
-    kernel = _make_worm_kernel(N, NP, kappa, W, worms)
+    cap = None if max_worm_moves is None else int(max_worm_moves)
+    kernel = _make_worm_kernel(N, NP, kappa, W, worms, worm_cap=cap)
+    scratch = [pltpu.VMEM((N, NP), jnp.float32),
+               pltpu.VMEM((N, NP), jnp.float32)]
+    if cap is not None and W != 1:
+        scratch += [pltpu.VMEM((N, NP), jnp.int32),
+                    pltpu.VMEM((N, NP), jnp.int32),
+                    pltpu.VMEM((N, NP), jnp.float32),
+                    pltpu.VMEM((N, NP), jnp.float32)]
     f_spec = pl.BlockSpec((1, 2, N, NP), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM)
     n_out, hist, stat = pl.pallas_call(
         kernel,
@@ -220,8 +261,7 @@ def classic_worms(seed, phi, n, *, N, kappa, W, worms=1, interpret=False):
         out_shape=(jax.ShapeDtypeStruct((B, 2, N, NP), jnp.int32),
                    jax.ShapeDtypeStruct((B, N, NP), jnp.float32),
                    jax.ShapeDtypeStruct((B, 8, 128), jnp.float32)),
-        scratch_shapes=[pltpu.VMEM((N, NP), jnp.float32),
-                        pltpu.VMEM((N, NP), jnp.float32)],
+        scratch_shapes=scratch,
         interpret=interpret,
     )(jnp.asarray(seed, jnp.int32).reshape(1), dphi, n_in)
     return n_out[..., :N], hist[..., :N], stat[:, 0, 0]
