@@ -93,3 +93,11 @@ def test_d4_topology_winf(monkeypatch):
     run_example('d4-topology.py',
                 ['--N', '3', '--chains', '4', '--steps', '6', '--thin', '1',
                  '--cut', '2', '--kappas', '0.4', '--W', 'inf'], monkeypatch)
+
+
+def test_winf_line_cpu_exits_cleanly(monkeypatch):
+    run_example('winf-line.py', [], monkeypatch)
+
+
+def test_pod_fleet_cpu_exits_cleanly(monkeypatch):
+    run_example('pod-fleet.py', ['--chains', '4'], monkeypatch)
