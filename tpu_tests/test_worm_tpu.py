@@ -93,3 +93,69 @@ def test_fused_worm_generator_statistics():
     err = per_rec.std(ddof=1) / np.sqrt(per_rec.size)
     assert abs(m2 - exact) < 5 * max(err, 3e-4), (m2, exact, err)
     assert {'Vortex_Vortex', 'Worm_Length'} <= set(e.configuration.keys())
+
+
+def test_fused_worm_correlator_shape_matches_xla():
+    """Beyond field-distribution agreement: the inline Vortex_Vortex
+    ESTIMATOR itself (the worm's extended-ensemble visit histogram) must have
+    the same normalized shape as the XLA ClassicWorm's — compared at several
+    displacements via per-chain spreads."""
+    import supervillain_tpu as sv
+    from supervillain_tpu.generators import villain as gv
+
+    N, B = 16, 32
+    kappa = KAPPA
+    phi = jnp.zeros((B, 1, N, N), jnp.float32)
+
+    # Kernel worms: thermalize, then accumulate the histogram over launches.
+    n = jnp.zeros((B, 2, N, N), jnp.int32)
+    for k in range(10):
+        n, _, _ = classic_worms(jnp.int32(500 + k), phi, n, N=N, kappa=kappa,
+                                W=1, worms=200)
+    hist_k = np.zeros((B, N, N))
+    for k in range(20):
+        n, hist, _ = classic_worms(jnp.int32(900 + k), phi, n, N=N,
+                                   kappa=kappa, W=1, worms=200)
+        hist_k += np.asarray(hist)
+
+    # XLA worms: same workload, inline histograms accumulated in the scan.
+    S = sv.Villain(sv.Lattice2D(N), kappa, W=1)
+    G = gv.ClassicWorm(S)
+
+    def one(k, c, s, h):
+        c, s, inline = G.step(k, c, s)
+        return c, s, h + inline['Vortex_Vortex']
+
+    cfgs = {'phi': jnp.zeros((B, 1, N, N), jnp.float64),
+            'n': jnp.zeros((B, 2, N, N), jnp.int64)}
+    stats = jax.tree.map(lambda x: jnp.broadcast_to(x, (B,) + x.shape),
+                         G.init_stats())
+    hist0 = jnp.zeros((B, N, N))
+
+    @jax.jit
+    def steps(key, cfgs, stats, hist, n_steps=4000, burn=2000):
+        def body(carry, kt):
+            k, t = kt
+            cfgs, stats, hist = carry
+            keys = jax.vmap(lambda i: jax.random.fold_in(k, i))(jnp.arange(B))
+            cfgs, stats, h = jax.vmap(one, in_axes=(0, 0, 0, 0))(
+                keys, cfgs, stats, jnp.zeros((B, N, N)))
+            hist = hist + jnp.where(t >= burn, 1.0, 0.0)[None, None] * h
+            return (cfgs, stats, hist), None
+        ks = jax.random.split(key, n_steps)
+        ts = jnp.arange(n_steps)
+        (cfgs, stats, hist), _ = jax.lax.scan(body, (cfgs, stats, hist), (ks, ts))
+        return hist
+
+    hist_x = np.asarray(steps(jax.random.key(4), cfgs, stats, hist0))
+
+    # Normalized shapes per chain; compare means at probe displacements.
+    def profile(h):
+        return h / np.maximum(h[:, :1, :1], 1e-30)
+    pk, px = profile(hist_k), profile(hist_x)
+    for (dt, dx) in ((0, 1), (1, 1), (2, 0), (3, 3), (8, 8)):
+        a, b = pk[:, dt, dx], px[:, dt, dx]
+        ea = a.std(ddof=1) / np.sqrt(B)
+        eb = b.std(ddof=1) / np.sqrt(B)
+        pull = abs(a.mean() - b.mean()) / np.hypot(ea, eb)
+        assert pull < 5, f'G({dt},{dx}): kernel {a.mean()}({ea}) vs xla {b.mean()}({eb}) pull {pull}'
