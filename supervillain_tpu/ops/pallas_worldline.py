@@ -214,20 +214,30 @@ def _make_kernel(N, kappa, W, interval_v, interval_t, interval_w, sweeps,
     return kernel
 
 
-def _make_strip_kernel(N, Rb, kappa, W, interval_v, interval_t, interval_w, sweeps):
-    """Strip-chunked worldline kernel for N ≥ 512 (same rationale as
-    :func:`..pallas_sweep._make_strip_kernel`: ~15 full-lattice temporaries
-    overflow VMEM scheduling above N=256, so each checkerboard pass walks
-    ``Rb``-row strips over the VMEM-resident state).
+def _strip_sweep_section(N, Rb, kappa, W, interval_v, interval_t, interval_w,
+                         sweeps, m_out, v_out, dv0_s, dv1_s):
+    """Trace ``sweeps`` strip-chunked worldline local-update stacks in place
+    over the VMEM-resident refs; returns the traced accepted-count total.
+
+    Same rationale and structure as
+    :func:`..pallas_sweep._strip_sweep_section`: the monolithic body's
+    full-lattice temporaries overflow Mosaic's VMEM scheduling above N=256, so
+    each checkerboard pass walks the lattice in ``Rb``-row strips.  Strips are
+    Python-unrolled (S = N/Rb ≤ 4 in production) so every load/store is a
+    static contiguous slice; plaquette-indexed arrays are (Rb, N) body slabs
+    and direction-1 link arrays (m₁, δv₁, their changes) are (Rb+1, N) slabs
+    over link rows row0 .. row0+Rb — the extra row is the downward δ(·)₁
+    "spill" row, read-modify-written in place.  Rb is even, so the
+    checkerboard masks are strip-independent and hoisted out of the walk.
 
     Exactness of in-place ascending strips: during a color-c vortex/coexact
-    pass each plaquette's ΔS reads only own-row proposals (the row-above /
-    row-below plaquettes entering δ/coface stencils have opposite parity at the
-    relevant columns, so their proposals vanish), and the one write that leaves
-    a strip — the δ(·)₁ spill one row *below* — lands on columns of the
-    neighbor strip that are disjoint from its own writes and reads (even N).
-    The wrapping pass needs whole-cycle ΔS sums, so it runs as two strip walks:
-    accumulate per-cycle ΔS, then apply the accepted shifts.
+    pass each plaquette's ΔS reads only own-parity proposals (the checkerboard
+    is bipartite on plaquettes), and the spill row shared between strip s's
+    writes and strip s+1's reads is touched at column-parity-disjoint columns
+    (even N), with read-modify-write ordering making the sequential
+    composition exact.  The wrapping pass needs whole-cycle ΔS sums, so it
+    runs as two strip walks: accumulate per-cycle ΔS, then apply the accepted
+    shifts.
 
     ``W = inf``: float v, continuous vortex proposal, _W = 2π (see
     :func:`_make_kernel`); the spill pattern is unchanged.
@@ -237,7 +247,132 @@ def _make_strip_kernel(N, Rb, kappa, W, interval_v, interval_t, interval_w, swee
     inv2k = np.float32(0.5 / kappa)
     fW = np.float32(2 * np.pi) if winf else np.float32(W)
     S = N // Rb
-    pad = (Rb + 1, N)   # body rows + one halo row below
+    body = (Rb, N)
+
+    _rx = lambda x, s: _roll(x, s, 1)
+    zrow = lambda dt: jnp.zeros((1, N), dt)
+    # Link-1 extensions of a (Rb, N) plaquette slab b: link row ℓ ↔ lattice
+    # row row0+ℓ; δ(b)₁[ℓ] = b[ℓ−1] − b[ℓ] = ext_lo − ext_hi.
+    ext_hi = lambda b: jnp.concatenate([b, zrow(b.dtype)], axis=0)
+    ext_lo = lambda b: jnp.concatenate([zrow(b.dtype), b], axis=0)
+
+    # Checkerboard masks: Rb even ⇒ plaquette row row0+y has parity (y+x) % 2
+    # for every strip — hoisted out of the strip walk.
+    rowb = jax.lax.broadcasted_iota(jnp.int32, body, 0)
+    laneb = jax.lax.broadcasted_iota(jnp.int32, body, 1)
+    _masks = []
+    for color in (0, 1):
+        im = jnp.where((rowb + laneb) % 2 == color, 1, 0)
+        _masks.append((im, im.astype(jnp.float32)))
+
+    def load1(ref, row0):
+        # Link-1 rows row0 .. row0+Rb: contiguous except the last strip, whose
+        # spill row wraps to the top of the lattice.
+        if row0 + Rb == N:
+            return jnp.concatenate([ref[row0:N], ref[0:1]], axis=0)
+        return ref[row0:row0 + Rb + 1]
+
+    def plaquette_pass(color, s, acc, *, which):
+        """Shared body of the vortex (which=0: Δv) and coexact (which=1: Δm)
+        strip passes — identical ΔS stencil, different applied field."""
+        row0 = s * Rb
+        imask, fmask = _masks[color]
+        dv0b = dv0_s[row0:row0 + Rb]
+        dv1_l = load1(dv1_s, row0)
+        m0 = m_out[0, 0, row0:row0 + Rb]
+        m1 = load1(m_out.at[0, 1], row0)
+        l0 = m0.astype(jnp.float32) - dv0b / fW
+        l1 = m1.astype(jnp.float32) - dv1_l / fW
+
+        if which == 0 and winf:
+            prop = (2.0 * _uniform(body) - 1.0) * np.float32(interval_v) * fmask
+        else:
+            prop = _int_nonzero(body, interval_v if which == 0 else interval_t) \
+                * imask
+        # δ(prop): c0 lateral (body rows); c1 on link-1 rows ℓ = 0..Rb.
+        c0 = prop - _rx(prop, 1)
+        c1 = ext_lo(prop) - ext_hi(prop)
+        c0f = c0.astype(jnp.float32)
+        c1f = c1.astype(jnp.float32)
+        if which == 0:   # vortex: links change by -δ(Δv)/W
+            t0 = inv2k * (-c0f / fW) * (2.0 * l0 - c0f / fW)
+            t1 = inv2k * (-c1f / fW) * (2.0 * l1 - c1f / fW)
+        else:            # coexact: m changes by +δ(t)
+            t0 = inv2k * c0f * (2.0 * l0 + c0f)
+            t1 = inv2k * c1f * (2.0 * l1 + c1f)
+        # Plaquette y's ΔS: lateral links at x and x+1, vertical links at
+        # ℓ = y and ℓ = y+1.
+        dS = t0 + _rx(t0, -1) + t1[:-1] + t1[1:]
+        accept = jnp.where(_uniform(body) < _exp_neg(dS), 1, 0) * imask
+        applied = prop * accept
+        a0 = applied - _rx(applied, 1)
+        a1 = ext_lo(applied) - ext_hi(applied)
+
+        def store1(ref, base, delta):
+            # base: pre-loaded link-1 slab; delta: the (Rb+1, N) change.  The
+            # last strip stores its body rows, then read-modify-writes the
+            # wrapped spill row fresh (at S == 1 the rows alias).
+            if row0 + Rb == N:
+                ref[row0:N] = (base + delta)[:Rb]
+                ref[0:1] = ref[0:1] + delta[Rb:]
+            else:
+                ref[row0:row0 + Rb + 1] = base + delta
+
+        if which == 0:
+            v_out[0, 0, row0:row0 + Rb] = v_out[0, 0, row0:row0 + Rb] + applied
+            dv0_s[row0:row0 + Rb] = dv0b + a0.astype(jnp.float32)
+            store1(dv1_s, dv1_l, a1.astype(jnp.float32))
+        else:
+            m_out[0, 0, row0:row0 + Rb] = m0 + a0
+            store1(m_out.at[0, 1], m1, a1)
+        return acc + jnp.sum(accept.astype(jnp.float32))
+
+    def wrapping_pass(acc):
+        # μ=0: one ±shift per column cycle.  Accumulate ΔS over strips.
+        c0 = _int_nonzero((1, N), interval_w)
+        c0f = c0.astype(jnp.float32)
+        dS0 = jnp.zeros((1, N), jnp.float32)
+        for s in range(S):
+            row0 = s * Rb
+            l0 = m_out[0, 0, row0:row0 + Rb].astype(jnp.float32) \
+                - dv0_s[row0:row0 + Rb] / fW
+            dS0 = dS0 + jnp.sum(inv2k * c0f * (2.0 * l0 + c0f), axis=0,
+                                keepdims=True)
+        a0 = jnp.where(_uniform((1, N)) < _exp_neg(dS0), 1, 0)
+        shift0 = jnp.broadcast_to(c0 * a0, body)
+        for s in range(S):
+            row0 = s * Rb
+            m_out[0, 0, row0:row0 + Rb] = m_out[0, 0, row0:row0 + Rb] + shift0
+        acc = acc + jnp.sum(a0.astype(jnp.float32))
+
+        # μ=1: one ±shift per row cycle; per-strip proposals and row sums.
+        for s in range(S):
+            row0 = s * Rb
+            c1 = _int_nonzero((Rb, 1), interval_w)
+            c1b = jnp.broadcast_to(c1, body)
+            c1f = c1b.astype(jnp.float32)
+            l1 = m_out[0, 1, row0:row0 + Rb].astype(jnp.float32) \
+                - dv1_s[row0:row0 + Rb] / fW
+            dS1 = jnp.sum(inv2k * c1f * (2.0 * l1 + c1f), axis=1, keepdims=True)
+            a1 = jnp.where(_uniform((Rb, 1)) < _exp_neg(dS1), 1, 0)
+            m_out[0, 1, row0:row0 + Rb] = m_out[0, 1, row0:row0 + Rb] \
+                + c1b * jnp.broadcast_to(a1, body)
+            acc = acc + jnp.sum(a1.astype(jnp.float32))
+        return acc
+
+    def sweep(t, acc):
+        for which in (0, 1):
+            for color in (0, 1):
+                for s in range(S):
+                    acc = plaquette_pass(color, s, acc, which=which)
+        return wrapping_pass(acc)
+
+    return jax.lax.fori_loop(0, sweeps, sweep, jnp.float32(0.0))
+
+
+def _make_strip_kernel(N, Rb, kappa, W, interval_v, interval_t, interval_w, sweeps):
+    """Strip-chunked worldline kernel for N ≥ 512: initialize the
+    VMEM-resident state, then run :func:`_strip_sweep_section`."""
 
     def kernel(seed_ref, m_ref, v_ref, m_out, v_out, acc_out, dv0_s, dv1_s):
         pltpu.prng_seed(seed_ref[0] + pl.program_id(0) * np.int32(2654435761 & 0x7FFFFFFF))
@@ -248,131 +383,11 @@ def _make_strip_kernel(N, Rb, kappa, W, interval_v, interval_t, interval_w, swee
         dv0_s[:] = (v0 - _roll(v0, 1, 1)).astype(jnp.float32)
         dv1_s[:] = (-(v0 - _roll(v0, 1, 0))).astype(jnp.float32)
 
-        rowpad = jax.lax.broadcasted_iota(jnp.int32, pad, 0)
-        lanep = jax.lax.broadcasted_iota(jnp.int32, pad, 1)
-        own = jnp.where(rowpad < Rb, 1, 0)
-
-        def load(ref, row0, bot):
-            return jnp.concatenate([ref[pl.ds(row0, Rb), :], ref[pl.ds(bot, 1), :]],
-                                   axis=0)
-
-        def up(x):   # x[y+1] at y (junk in last row, masked)
-            return jnp.concatenate([x[1:], x[:1]], axis=0)
-
-        def dn(x):   # x[y-1] at y
-            return jnp.concatenate([x[-1:], x[:-1]], axis=0)
-
-        def strip_ctx(s):
-            row0 = s * Rb
-            bot = (row0 + Rb) % N
-            parity = (rowpad + row0 + lanep) % 2
-            return row0, bot, parity
-
-        def plaquette_pass(color, s, acc, *, which):
-            """Shared body of the vortex (which=0: Δv) and coexact (which=1: Δm)
-            strip passes — identical ΔS stencil, different applied field."""
-            row0, bot, parity = strip_ctx(s)
-            imask = jnp.where(parity == color, 1, 0) * own
-            m0 = load(m_out.at[0, 0], row0, bot)
-            m1 = load(m_out.at[0, 1], row0, bot)
-            dv0 = load(dv0_s, row0, bot)
-            dv1 = load(dv1_s, row0, bot)
-            l0 = m0.astype(jnp.float32) - dv0 / fW
-            l1 = m1.astype(jnp.float32) - dv1 / fW
-
-            if which == 0 and winf:
-                prop = (2.0 * _uniform(pad) - 1.0) * np.float32(interval_v) \
-                    * imask.astype(jnp.float32)
-            else:
-                prop = _int_nonzero(pad, interval_v if which == 0 else interval_t) * imask
-            # δ(prop): c0 lateral; c1[y] = -prop[y] + prop[y-1].
-            c0 = prop - _rxn(prop, 1)
-            c1 = -prop + dn(prop)
-            c0f = c0.astype(jnp.float32)
-            c1f = c1.astype(jnp.float32)
-            if which == 0:   # vortex: links change by -δ(Δv)/W
-                t0 = inv2k * (-c0f / fW) * (2.0 * l0 - c0f / fW)
-                t1 = inv2k * (-c1f / fW) * (2.0 * l1 - c1f / fW)
-            else:            # coexact: m changes by +δ(t)
-                t0 = inv2k * c0f * (2.0 * l0 + c0f)
-                t1 = inv2k * c1f * (2.0 * l1 + c1f)
-            dS = t0 + _rxn(t0, -1) + t1 + up(t1)
-            accept = jnp.where(_uniform(pad) < _exp_neg(dS), 1, 0) * imask
-            applied = prop * accept
-            a0 = applied - _rxn(applied, 1)
-            a1 = -applied + dn(applied)
-            if which == 0:
-                v_out[0, 0, pl.ds(row0, Rb), :] = \
-                    v_out[0, 0, pl.ds(row0, Rb), :] + applied[:Rb]
-                dv0_s[pl.ds(row0, Rb), :] = (dv0 + a0.astype(jnp.float32))[:Rb]
-                dv1_s[pl.ds(row0, Rb), :] = (dv1 + a1.astype(jnp.float32))[:Rb]
-                # spill: dv1[bot] += applied[Rb-1] (column-disjoint +=)
-                dv1_s[pl.ds(bot, 1), :] = dv1_s[pl.ds(bot, 1), :] \
-                    + applied[Rb - 1:Rb].astype(jnp.float32)
-            else:
-                m_out[0, 0, pl.ds(row0, Rb), :] = (m0 + a0)[:Rb]
-                m_out[0, 1, pl.ds(row0, Rb), :] = (m1 + a1)[:Rb]
-                m_out[0, 1, pl.ds(bot, 1), :] = \
-                    m_out[0, 1, pl.ds(bot, 1), :] + applied[Rb - 1:Rb]
-            return acc + jnp.sum(accept.astype(jnp.float32))
-
-        def wrapping_pass(acc):
-            # μ=0: one ±shift per column cycle.  Accumulate ΔS over strips.
-            c0 = _int_nonzero((1, N), interval_w)
-            c0f = c0.astype(jnp.float32)
-
-            def acc0(s, dS):
-                row0 = s * Rb
-                l0 = m_out[0, 0, pl.ds(row0, Rb), :].astype(jnp.float32) \
-                    - dv0_s[pl.ds(row0, Rb), :] / fW
-                return dS + jnp.sum(inv2k * c0f * (2.0 * l0 + c0f), axis=0,
-                                    keepdims=True)
-            dS0 = jax.lax.fori_loop(0, S, acc0, jnp.zeros((1, N), jnp.float32))
-            a0 = jnp.where(_uniform((1, N)) < _exp_neg(dS0), 1, 0)
-            shift0 = c0 * a0
-
-            def apply0(s, _):
-                row0 = s * Rb
-                m_out[0, 0, pl.ds(row0, Rb), :] = \
-                    m_out[0, 0, pl.ds(row0, Rb), :] + jnp.broadcast_to(shift0, (Rb, N))
-                return 0
-            jax.lax.fori_loop(0, S, apply0, 0)
-
-            # μ=1: one ±shift per row cycle; per-strip proposals and row sums.
-            def row_pass(s, acc):
-                row0 = s * Rb
-                c1 = _int_nonzero((Rb, 1), interval_w)
-                c1b = jnp.broadcast_to(c1, (Rb, N))
-                c1f = c1b.astype(jnp.float32)
-                l1 = m_out[0, 1, pl.ds(row0, Rb), :].astype(jnp.float32) \
-                    - dv1_s[pl.ds(row0, Rb), :] / fW
-                dS1 = jnp.sum(inv2k * c1f * (2.0 * l1 + c1f), axis=1, keepdims=True)
-                a1 = jnp.where(_uniform((Rb, 1)) < _exp_neg(dS1), 1, 0)
-                m_out[0, 1, pl.ds(row0, Rb), :] = \
-                    m_out[0, 1, pl.ds(row0, Rb), :] + c1b * jnp.broadcast_to(a1, (Rb, N))
-                return acc + jnp.sum(a1.astype(jnp.float32))
-            acc = jax.lax.fori_loop(0, S, row_pass, acc)
-            return acc + jnp.sum(a0.astype(jnp.float32))
-
-        def sweep(t, acc):
-            for color in (0, 1):
-                acc = jax.lax.fori_loop(
-                    0, S, lambda s, a: plaquette_pass(color, s, a, which=0), acc)
-            for color in (0, 1):
-                acc = jax.lax.fori_loop(
-                    0, S, lambda s, a: plaquette_pass(color, s, a, which=1), acc)
-            return wrapping_pass(acc)
-
-        acc = jax.lax.fori_loop(0, sweeps, sweep, jnp.float32(0.0))
+        acc = _strip_sweep_section(N, Rb, kappa, W, interval_v, interval_t,
+                                   interval_w, sweeps, m_out, v_out, dv0_s, dv1_s)
         acc_out[0] = jnp.full((8, 128), acc, jnp.float32)
 
     return kernel
-
-
-def _rxn(x, shift):
-    """Lateral roll: result[.., j] = x[.., j+shift] for shift<0... matching the
-    monolithic kernel's convention ``_roll(x, shift % N, axis=1)``."""
-    return _roll(x, shift, 1)
 
 
 STRIP_THRESHOLD = 512
@@ -388,10 +403,12 @@ def _strip_rows(N):
 
 @partial(jax.jit, static_argnames=('N', 'kappa', 'W', 'interval_v', 'interval_t',
                                    'interval_w', 'sweeps', 'chains_per_program',
-                                   'interpret', 'force_strips'))
+                                   'interpret', 'force_strips',
+                                   'strip_rows'))
 def worldline_sweeps(seed, m, v, *, N, kappa, W, interval_v=1, interval_t=1,
                      interval_w=1, sweeps=1, chains_per_program=1,
-                     interpret=False, force_strips=False):
+                     interpret=False, force_strips=False,
+                     strip_rows=None):
     """Run ``sweeps`` fused worldline local-update sweeps on a chain batch.
 
     Parameters
@@ -416,7 +433,11 @@ def worldline_sweeps(seed, m, v, *, N, kappa, W, interval_v=1, interval_t=1,
     if N >= STRIP_THRESHOLD or force_strips:
         m_spec = pl.BlockSpec((1, 2, N, N), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM)
         v_spec = pl.BlockSpec((1, 1, N, N), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM)
-        kernel = _make_strip_kernel(N, _strip_rows(N), kappa, W, interval_v,
+        Rb = _strip_rows(N) if strip_rows is None else int(strip_rows)
+        if N % Rb != 0 or Rb % 2 != 0:
+            raise ValueError(f'strip_rows must be an even divisor of N (got '
+                             f'Rb={Rb}, N={N})')
+        kernel = _make_strip_kernel(N, Rb, kappa, W, interval_v,
                                     interval_t, interval_w, sweeps)
         out_m, out_v, acc = pl.pallas_call(
             kernel,
