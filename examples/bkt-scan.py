@@ -84,30 +84,12 @@ def main():
         print(f'# chains={B} not divisible by the N={N} packing factor '
               f'{max(1, 128 // N)}; falling back to worms=0 (sweeps only)')
         worms = 0
-    if on_tpu and worms > 0 and N > 256:
-        # Above the hammer's monolithic envelope: compose the strip-chunked
-        # sweep kernel with the standalone worm kernel (two launches per
-        # record instead of one; same sampling, same 64·N² worm cap).
-        from supervillain_tpu.ops.pallas_sweep import (neighborhood_sweeps
-                                                       as _sweeps_only)
-        from supervillain_tpu.ops.pallas_worm import classic_worms
-
-        def neighborhood_sweeps(seed, phi, n, *, N, kappa, W, interval_phi,
-                                interval_n, sweeps, p_n=None):
-            phi, n, acc, inline = _sweeps_only(
-                seed, phi, n, N=N, kappa=kappa, W=W, interval_phi=interval_phi,
-                interval_n=interval_n, sweeps=sweeps, p_n=p_n)
-            w = max(1, (worms * sweeps) // max(args.thin, 1))
-            n, hist, wl = classic_worms(seed + jnp.int32(1), phi, n, N=N,
-                                        kappa=kappa, W=W, worms=w,
-                                        max_worm_moves=64 * N * N)
-            inline = dict(inline)
-            inline['Vortex_Vortex'] = hist
-            inline['Worm_Length'] = wl
-            return phi, n, acc, inline
-    elif on_tpu and worms > 0:
-        # Fused Hammer: sweeps + in-kernel worms in one launch.  At N < 128
-        # chains are packed 128/N per program so the worm section fills the lanes.
+    if on_tpu and worms > 0:
+        # Fused Hammer: sweeps + in-kernel worms in one launch, at EVERY
+        # geometry — monolithic sweep body through N=256, strip-chunked body
+        # above (the round-4 composed strip-sweeps + standalone-worm fallback
+        # is gone).  At N < 128 chains are packed 128/N per program so the
+        # worm section fills the lanes.
         from supervillain_tpu.ops.pallas_hammer import hammer_sweeps
         cpp = 1 if N >= 128 else max(1, 128 // N)
 
@@ -238,6 +220,16 @@ def main():
         # Bootstrap over per-chain (or per-program) means: chains are
         # independent by construction, while records within one chain stay
         # correlated whenever thin < τ — pooling them would understate errors.
+        # Truncation budget (VERDICT r4 #8): record the truncated fraction of
+        # measurement worms per scan point, and warn loudly past ~1e-3 — the
+        # worm-inclusive inline correlator carries a documented
+        # short-separation bias whenever truncation fires, so a silently
+        # truncation-heavy point must not be used quantitatively.
+        from supervillain_tpu.parallel.fused_fleet import check_truncation_budget
+        trunc_frac = check_truncation_budget(
+            truncated, worms * args.records * B, context=f'kappa={kappa}: ') \
+            if worms > 0 else 0.0
+
         S_action = sv.Villain(L, kappa, W)
         cols = {'SpinSusceptibility': chi_col.mean(axis=0)}
         if worms > 0:
@@ -257,6 +249,7 @@ def main():
                               chi=(mX, eX), chi_scaled=(mX / scale, eX / scale),
                               nontrivial_sector_frac=nontrivial_sectors,
                               worms_truncated=truncated,
+                              trunc_frac=trunc_frac,
                               seconds=time.perf_counter() - t0)
         line = (f'{kappa:>6.2f} {acc_frac:>6.1%} {str(Uncertain(mS, eS)):>16} '
                 f'{str(Uncertain(mW, eW)):>14} {str(Uncertain(mX, eX)):>14} '

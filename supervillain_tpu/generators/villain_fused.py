@@ -156,7 +156,11 @@ class FusedHammer(Generator):
 
     TPU-only, D=2, N a multiple of 128 (at N=64 use
     :func:`~supervillain_tpu.ops.pallas_hammer.hammer_sweeps` with
-    ``chains_per_program=2`` — this single-chain wrapper cannot pack);
+    ``chains_per_program=2`` — this single-chain wrapper cannot pack).
+    Monolithic sweep body through N=256, strip-chunked body above — the
+    Hammer composition is geometry-unconditional across the production
+    envelope, like the reference's
+    (/root/reference/supervillain/generator/villain/__init__.py:10-63);
     elsewhere falls back to the XLA
     ``Sequentially(NeighborhoodUpdate-or-Exact, KeepEvery(worms, ClassicWorm))``
     with the same stats tags."""

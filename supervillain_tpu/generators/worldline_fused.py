@@ -157,9 +157,12 @@ class FusedWorldlineHammer(Generator):
 
     Works at any W including ∞ (the worm only moves m; at W = ∞ the kernel
     runs float v, a continuous vortex proposal, and _W = 2π).  TPU-only, D=2,
-    N a multiple of 128 and ≤ 256 (the monolithic sweep envelope); elsewhere
-    falls back to the XLA ``Sequentially(Vortex, Coexact, Wrapping,
-    KeepEvery(worms, ClassicWorm))`` with the same stats tags."""
+    N a multiple of 128 — monolithic sweep body through N=256, the
+    strip-chunked body above (geometry-unconditional across the production
+    envelope, like the reference composition); elsewhere falls back to the
+    XLA ``Sequentially(KeepEvery(sweeps_per_step, local stack),
+    KeepEvery(worms, ClassicWorm))`` with the same stats tags and the same
+    per-step sweep/worm densities as the kernel."""
 
     name = 'FusedWorldlineHammer'
     fields = ('m', 'v')
@@ -178,12 +181,21 @@ class FusedWorldlineHammer(Generator):
         self.max_worm_moves = None if max_worm_moves is None else int(max_worm_moves)
         self._fallback = None
         N = action.Lattice.N
-        if not (_pallas_supported(action) and N % 128 == 0 and N <= 256):
+        if not (_pallas_supported(action) and N % 128 == 0):
+            # Same per-step sweep and worm densities as the fused kernel —
+            # sweeps_per_step of each local pass, then `worms` worms, in ONE
+            # step (the round-4 fallback looped the whole composite
+            # sweeps_per_step times, oversampling worms by that factor and
+            # discarding all but the last iteration's inline Spin_Spin).
+            # Sequentially cannot nest, so each local updater gets its own
+            # KeepEvery — a reordering of commuting-in-distribution kernels.
+            sw = self.sweeps_per_step
+            wrap = lambda g: KeepEvery(sw, g) if sw > 1 else g
             worm = ClassicWorm(action)
             self._fallback = Sequentially((
-                VortexUpdate(action, interval_v),
-                CoexactUpdate(action, interval_t),
-                WrappingUpdate(action, interval_w),
+                wrap(VortexUpdate(action, interval_v)),
+                wrap(CoexactUpdate(action, interval_t)),
+                wrap(WrappingUpdate(action, interval_w)),
                 KeepEvery(worms, worm) if worms > 1 else worm,
             ))
 
@@ -205,11 +217,7 @@ class FusedWorldlineHammer(Generator):
 
     def step(self, key, cfg, stats):
         if self._fallback is not None:
-            out = cfg
-            for _ in range(self.sweeps_per_step):
-                key, sub = jax.random.split(key)
-                out, stats, inline = self._fallback.step(sub, out, stats)
-            return out, stats, inline
+            return self._fallback.step(key, cfg, stats)
 
         from ..ops.pallas_worldline_hammer import worldline_hammer_sweeps
         S, L = self.Action, self.Lattice

@@ -20,6 +20,12 @@ which are validated against the XLA generators on hardware.
 Envelope (D=2, even N):
 
 * ``N ≥ 128`` with N a multiple of 128 runs one chain per program.
+* ``N ≥ 512`` swaps the monolithic sweep body for the strip-chunked body
+  (:func:`..pallas_sweep._strip_sweep_section`) in the same one-launch
+  composition — the worm section is unchanged and consumes the residual
+  scratch the strips maintain, so the Hammer is geometry-unconditional
+  across the whole production envelope (L = 64 .. 1024+), like the
+  reference's composition.
 * ``N < 128`` (the L=64 BKT finite-size-scaling workload) packs
   ``chains_per_program`` chains per program in the *interleaved* layout of
   :func:`..pallas_sweep._make_kernel` (row = t·C0 + chain_row, lane =
@@ -47,20 +53,33 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .pallas_sweep import _uniform, _int_in, _int_sparse, _roll, _exp_neg
+from .pallas_sweep import (_uniform, _int_in, _int_sparse, _roll, _exp_neg,
+                           _strip_sweep_section, _strip_rows, STRIP_THRESHOLD)
 
 TWO_PI = np.float32(2 * np.pi)
 _GOLD = np.int32(2654435761 & 0x7FFFFFFF)
 
 
-def _make_hammer_kernel(N, kappa, W, interval_phi, interval_n, sweeps, worms,
-                        C0=1, C1=1, p_n=None, worm_cap=None):
-    winf = (W == float('inf'))
-    kappa = np.float32(kappa)
-    interval_phi = np.float32(interval_phi)
+def _worm_section(N, C0, C1, kappa, W, worms, n_out, hist_ref, r0_s, r1_s,
+                  snap=None, cap=None):
+    """Trace ``worms * C0*C1`` sequential classic worms on the VMEM-resident
+    residuals; returns the traced truncation count (0 when uncapped).
+
+    ``n_out``: (1, 2, C0·N, C1·N) int32 output ref (updated in place);
+    ``hist_ref``: (1, C0·N, C1·N) f32 Vortex_Vortex tally ref (pre-zeroed);
+    ``r0_s``/``r1_s``: (C0·N, C1·N) f32 residual scratch.  With packing
+    (C0·C1 > 1) the program's chains interleave; worm w belongs to chain
+    w mod C and addresses its sites with strided element access.
+
+    ``cap``/``snap``: optional move bound with exact truncation-rollback at
+    W ≠ 1 (an unclosed worm's field changes are undone from the 4 snapshot
+    scratch buffers taken at its start; at W = 1 the open configuration is
+    valid and kept, so no snapshots are taken or needed).  Shared by the
+    monolithic and strip hammer kernels.
+    """
     closed_always = (W == 1)
+    kappa = np.float32(kappa)
     C = C0 * C1
-    shape = (C0 * N, C1 * N)
 
     # Worm move tables (generators.villain.ClassicWorm / pallas_worm).
     MOVE_T = (0, 1, 0, -1)
@@ -75,6 +94,147 @@ def _make_hammer_kernel(N, kappa, W, interval_phi, interval_n, sweeps, worms,
         for c in (1, 2, 3):
             out = jnp.where(choice == c, jnp.int32(table[c]), out)
         return out
+
+    def draws():
+        bits = pltpu.bitcast(pltpu.prng_random_bits((8, 128)), jnp.int32)
+        return bits[0, 0], bits[0, 1], bits[0, 2], bits[0, 3]
+
+    def unif(w):
+        low24 = jax.lax.bitwise_and(w, jnp.int32(0x00FFFFFF))
+        return low24.astype(jnp.float32) * np.float32(2 ** -24)
+
+    def rand_site(w):
+        return jnp.floor(unif(w) * np.float32(N)).astype(jnp.int32)
+
+    lane1 = jax.lax.broadcasted_iota(jnp.int32, (1, C1 * N), 1)
+
+    def load1(ref, i, j):
+        row = ref[pl.ds(i, 1), :]
+        return jnp.sum(jnp.where(lane1 == j, row, jnp.zeros_like(row)))
+
+    def add1(ref, i, j, val):
+        row = ref[pl.ds(i, 1), :]
+        ref[pl.ds(i, 1), :] = row + jnp.where(lane1 == j, val, jnp.zeros_like(row))
+
+    def worm_body(w, carry):
+        # Interleave chains: worm w belongs to chain c = w mod C of this
+        # program's pack (row offset c // C1, lane offset c mod C1).
+        c = jax.lax.rem(w, jnp.int32(C))
+        c0 = c // jnp.int32(C1)
+        c1 = jax.lax.rem(c, jnp.int32(C1))
+
+        if cap is not None and not closed_always:
+            ns0, ns1, rs0, rs1 = snap
+            ns0[:] = n_out[0, 0]
+            ns1[:] = n_out[0, 1]
+            rs0[:] = r0_s[:]
+            rs1[:] = r1_s[:]
+
+        def ridx(t):
+            return t * C0 + c0
+
+        def lidx(x):
+            return x * C1 + c1
+
+        w0, w1, w2, w3 = draws()
+        orientation = jnp.where(w0 > 0, jnp.int32(1), jnp.int32(-1))
+        tail_t = rand_site(w1)
+        tail_x = rand_site(w2)
+        if closed_always:
+            # At W=1 an open worm satisfies the (mod 1) constraint from the
+            # start: insert the head anywhere.
+            w4, w5, _, _ = draws()
+            head0_t = rand_site(w4)
+            head0_x = rand_site(w5)
+        else:
+            head0_t, head0_x = tail_t, tail_x
+
+        def cond(state):
+            open_ = state[0] == 0
+            if cap is not None:
+                open_ = open_ & (state[3] < cap)
+            return open_
+
+        def body(state):
+            _, head_t, head_x, moves = state
+            c0w, c1w, c2w, _ = draws()
+            u_close = unif(c0w)
+            choice = jax.lax.bitwise_and(c1w, jnp.int32(3))
+            u_acc = unif(c2w)
+
+            if closed_always:
+                closed = jnp.bool_(True)
+            else:
+                closed = (head_t == tail_t) & (head_x == tail_x)
+            close_now = closed & (u_close >= np.float32(0.8))
+
+            next_t = jax.lax.rem(head_t + pick(choice, MOVE_T) + N, jnp.int32(N))
+            next_x = jax.lax.rem(head_x + pick(choice, MOVE_X) + N, jnp.int32(N))
+            ld = pick(choice, LINK_DIR)
+            lt = jax.lax.rem(head_t + pick(choice, OFF_T), jnp.int32(N))
+            lx = jax.lax.rem(head_x + pick(choice, OFF_X), jnp.int32(N))
+            dn = orientation * pick(choice, PLAQ)
+
+            link_val = jnp.where(ld == 0, load1(r0_s, ridx(lt), lidx(lx)),
+                                 load1(r1_s, ridx(lt), lidx(lx)))
+            dnf = dn.astype(jnp.float32)
+            dS = (kappa / 2) * (-TWO_PI * dnf) * (2.0 * link_val - TWO_PI * dnf)
+            accept = (u_acc < _exp_neg(dS)) & ~close_now
+
+            @pl.when(accept & (ld == 0))
+            def _():
+                add1(n_out.at[0, 0], ridx(lt), lidx(lx), dn)
+                add1(r0_s, ridx(lt), lidx(lx), -TWO_PI * dnf)
+
+            @pl.when(accept & (ld == 1))
+            def _():
+                add1(n_out.at[0, 1], ridx(lt), lidx(lx), dn)
+                add1(r1_s, ridx(lt), lidx(lx), -TWO_PI * dnf)
+
+            head_t = jnp.where(accept, next_t, head_t)
+            head_x = jnp.where(accept, next_x, head_x)
+
+            @pl.when(~close_now)
+            def _():
+                dt = jax.lax.rem(head_t - tail_t + N, jnp.int32(N))
+                dx = jax.lax.rem(head_x - tail_x + N, jnp.int32(N))
+                add1(hist_ref.at[0], ridx(dt), lidx(dx), np.float32(1.0))
+
+            return (jnp.where(close_now, jnp.int32(1), jnp.int32(0)),
+                    head_t, head_x, moves + 1)
+
+        done, _, _, _ = jax.lax.while_loop(
+            cond, body, (jnp.int32(0), head0_t, head0_x, jnp.int32(0)))
+
+        if cap is not None and not closed_always:
+            # Truncated (still-open) worm at W != 1: the open configuration
+            # violates dn ≡ 0 (mod W) — roll the fields back (exact; the
+            # worm's Metropolis chain pairs trajectories with their
+            # reversals).  Histogram tallies are kept, as in the XLA worm
+            # (documented short-separation bias when truncation fires).
+            truncated = done == 0
+
+            @pl.when(truncated)
+            def _():
+                ns0, ns1, rs0, rs1 = snap
+                n_out[0, 0] = ns0[:]
+                n_out[0, 1] = ns1[:]
+                r0_s[:] = rs0[:]
+                r1_s[:] = rs1[:]
+
+            carry = carry + jnp.where(truncated, jnp.int32(1), jnp.int32(0))
+        return carry
+
+    return jax.lax.fori_loop(0, worms * C, worm_body, jnp.int32(0))
+
+
+def _make_hammer_kernel(N, kappa, W, interval_phi, interval_n, sweeps, worms,
+                        C0=1, C1=1, p_n=None, worm_cap=None):
+    winf = (W == float('inf'))
+    kappa = np.float32(kappa)
+    interval_phi = np.float32(interval_phi)
+    C = C0 * C1
+    shape = (C0 * N, C1 * N)
 
     def kernel(seed_ref, phi_ref, n_ref, phi_out, n_out, hist_ref, stat_ref,
                r0_s, r1_s, *snap):
@@ -189,138 +349,56 @@ def _make_hammer_kernel(N, kappa, W, interval_phi, interval_n, sweeps, worms,
         # ---- section 2: classic worms on the resident residuals ------------
         # With packing the program runs worms for each of its C chains in turn
         # (strided element access picks out one chain's interleaved sites).
+        truncations = _worm_section(N, C0, C1, kappa, W, worms, n_out, hist_ref,
+                                    r0_s, r1_s, snap=snap or None, cap=worm_cap)
 
-        def draws():
-            bits = pltpu.bitcast(pltpu.prng_random_bits((8, 128)), jnp.int32)
-            return bits[0, 0], bits[0, 1], bits[0, 2], bits[0, 3]
+        length = jnp.sum(hist_ref[0])
+        stat_ref[0] = jnp.concatenate([
+            jnp.full((1, 128), acc, jnp.float32),
+            jnp.full((1, 128), sS, jnp.float32),
+            jnp.full((1, 128), sw2, jnp.float32),
+            jnp.full((1, 128), length, jnp.float32),
+            jnp.full((1, 128), truncations.astype(jnp.float32), jnp.float32),
+            jnp.zeros((3, 128), jnp.float32),
+        ], axis=0)
 
-        def unif(w):
-            low24 = jax.lax.bitwise_and(w, jnp.int32(0x00FFFFFF))
-            return low24.astype(jnp.float32) * np.float32(2 ** -24)
+    return kernel
 
-        def rand_site(w):
-            return jnp.floor(unif(w) * np.float32(N)).astype(jnp.int32)
 
-        lane1 = jax.lax.broadcasted_iota(jnp.int32, (1, C1 * N), 1)
+def _make_strip_hammer_kernel(N, Rb, kappa, W, interval_phi, interval_n,
+                              sweeps, worms, p_n=None, worm_cap=None):
+    """Strip-regime fused Hammer (N ≥ 512): the strip-chunked sweep body
+    (:func:`..pallas_sweep._strip_sweep_section`) followed by the same
+    in-kernel worm section, all on one program's VMEM-resident (φ, n, r).
 
-        def load1(ref, i, j):
-            row = ref[pl.ds(i, 1), :]
-            return jnp.sum(jnp.where(lane1 == j, row, jnp.zeros_like(row)))
+    This removes the round-4 envelope edge where the Hammer composition was
+    geometry-conditional (reference Hammer is unconditional,
+    /root/reference/supervillain/generator/villain/__init__.py:10-63): the
+    worm consumes the residuals the strip sweeps maintain in scratch, with no
+    HBM round-trip between the sections.  No chain packing (one N ≥ 512 chain
+    fills the vector unit on its own)."""
 
-        def add1(ref, i, j, val):
-            row = ref[pl.ds(i, 1), :]
-            ref[pl.ds(i, 1), :] = row + jnp.where(lane1 == j, val, jnp.zeros_like(row))
+    def kernel(seed_ref, phi_in, n_in, phi_out, n_out, hist_ref, stat_ref,
+               r0_s, r1_s, *snap):
+        pltpu.prng_seed(seed_ref[0] + pl.program_id(0) * _GOLD)
+        phi_out[0, 0] = phi_in[0, 0]
+        n_out[0, 0] = n_in[0, 0]
+        n_out[0, 1] = n_in[0, 1]
+        phi0 = phi_in[0, 0]
+        r0_s[:] = (pltpu.roll(phi0, N - 1, axis=0) - phi0) \
+            - TWO_PI * n_in[0, 0].astype(jnp.float32)
+        r1_s[:] = (_roll(phi0, -1, 1) - phi0) \
+            - TWO_PI * n_in[0, 1].astype(jnp.float32)
 
-        def worm_body(w, carry):
-            # Interleave chains: worm w belongs to chain c = w mod C of this
-            # program's pack (row offset c // C1, lane offset c mod C1).
-            c = jax.lax.rem(w, jnp.int32(C))
-            c0 = c // jnp.int32(C1)
-            c1 = jax.lax.rem(c, jnp.int32(C1))
+        # ---- section 1: strip-chunked neighborhood sweeps ------------------
+        acc, sS, sw2 = _strip_sweep_section(N, Rb, kappa, W, interval_phi,
+                                            interval_n, sweeps, p_n,
+                                            phi_out, n_out, r0_s, r1_s)
 
-            if worm_cap is not None:
-                ns0, ns1, rs0, rs1 = snap
-                ns0[:] = n_out[0, 0]
-                ns1[:] = n_out[0, 1]
-                rs0[:] = r0_s[:]
-                rs1[:] = r1_s[:]
-
-            def ridx(t):
-                return t * C0 + c0
-
-            def lidx(x):
-                return x * C1 + c1
-
-            w0, w1, w2, w3 = draws()
-            orientation = jnp.where(w0 > 0, jnp.int32(1), jnp.int32(-1))
-            tail_t = rand_site(w1)
-            tail_x = rand_site(w2)
-            if closed_always:
-                # At W=1 an open worm satisfies the (mod 1) constraint from the
-                # start: insert the head anywhere.
-                w4, w5, _, _ = draws()
-                head0_t = rand_site(w4)
-                head0_x = rand_site(w5)
-            else:
-                head0_t, head0_x = tail_t, tail_x
-
-            def cond(state):
-                open_ = state[0] == 0
-                if worm_cap is not None:
-                    open_ = open_ & (state[3] < worm_cap)
-                return open_
-
-            def body(state):
-                _, head_t, head_x, moves = state
-                c0w, c1w, c2w, _ = draws()
-                u_close = unif(c0w)
-                choice = jax.lax.bitwise_and(c1w, jnp.int32(3))
-                u_acc = unif(c2w)
-
-                if closed_always:
-                    closed = jnp.bool_(True)
-                else:
-                    closed = (head_t == tail_t) & (head_x == tail_x)
-                close_now = closed & (u_close >= np.float32(0.8))
-
-                next_t = jax.lax.rem(head_t + pick(choice, MOVE_T) + N, jnp.int32(N))
-                next_x = jax.lax.rem(head_x + pick(choice, MOVE_X) + N, jnp.int32(N))
-                ld = pick(choice, LINK_DIR)
-                lt = jax.lax.rem(head_t + pick(choice, OFF_T), jnp.int32(N))
-                lx = jax.lax.rem(head_x + pick(choice, OFF_X), jnp.int32(N))
-                dn = orientation * pick(choice, PLAQ)
-
-                link_val = jnp.where(ld == 0, load1(r0_s, ridx(lt), lidx(lx)),
-                                     load1(r1_s, ridx(lt), lidx(lx)))
-                dnf = dn.astype(jnp.float32)
-                dS = (kappa / 2) * (-TWO_PI * dnf) * (2.0 * link_val - TWO_PI * dnf)
-                accept = (u_acc < _exp_neg(dS)) & ~close_now
-
-                @pl.when(accept & (ld == 0))
-                def _():
-                    add1(n_out.at[0, 0], ridx(lt), lidx(lx), dn)
-                    add1(r0_s, ridx(lt), lidx(lx), -TWO_PI * dnf)
-
-                @pl.when(accept & (ld == 1))
-                def _():
-                    add1(n_out.at[0, 1], ridx(lt), lidx(lx), dn)
-                    add1(r1_s, ridx(lt), lidx(lx), -TWO_PI * dnf)
-
-                head_t = jnp.where(accept, next_t, head_t)
-                head_x = jnp.where(accept, next_x, head_x)
-
-                @pl.when(~close_now)
-                def _():
-                    dt = jax.lax.rem(head_t - tail_t + N, jnp.int32(N))
-                    dx = jax.lax.rem(head_x - tail_x + N, jnp.int32(N))
-                    add1(hist_ref.at[0], ridx(dt), lidx(dx), np.float32(1.0))
-
-                return (jnp.where(close_now, jnp.int32(1), jnp.int32(0)),
-                        head_t, head_x, moves + 1)
-
-            done, _, _, _ = jax.lax.while_loop(
-                cond, body, (jnp.int32(0), head0_t, head0_x, jnp.int32(0)))
-
-            if worm_cap is not None and not closed_always:
-                # Truncated (still-open) worm at W != 1: the open configuration
-                # violates dn ≡ 0 (mod W) — roll the fields back (exact; the
-                # worm's Metropolis chain pairs trajectories with their
-                # reversals).  Histogram tallies are kept, as in the XLA worm
-                # (documented short-separation bias when truncation fires).
-                truncated = done == 0
-
-                @pl.when(truncated)
-                def _():
-                    ns0, ns1, rs0, rs1 = snap
-                    n_out[0, 0] = ns0[:]
-                    n_out[0, 1] = ns1[:]
-                    r0_s[:] = rs0[:]
-                    r1_s[:] = rs1[:]
-
-                carry = carry + jnp.where(truncated, jnp.int32(1), jnp.int32(0))
-            return carry
-
-        truncations = jax.lax.fori_loop(0, worms * C, worm_body, jnp.int32(0))
+        # ---- section 2: classic worms on the resident residuals ------------
+        hist_ref[0] = jnp.zeros((N, N), jnp.float32)
+        truncations = _worm_section(N, 1, 1, kappa, W, worms, n_out, hist_ref,
+                                    r0_s, r1_s, snap=snap or None, cap=worm_cap)
 
         length = jnp.sum(hist_ref[0])
         stat_ref[0] = jnp.concatenate([
@@ -337,10 +415,12 @@ def _make_hammer_kernel(N, kappa, W, interval_phi, interval_n, sweeps, worms,
 
 @partial(jax.jit, static_argnames=('N', 'kappa', 'W', 'interval_phi', 'interval_n',
                                    'sweeps', 'worms', 'p_n', 'chains_per_program',
-                                   'max_worm_moves', 'interpret'))
+                                   'max_worm_moves', 'interpret', 'force_strips',
+                                   'strip_rows'))
 def hammer_sweeps(seed, phi, n, *, N, kappa, W, interval_phi, interval_n,
                   sweeps, worms=1, p_n=None, chains_per_program=1,
-                  max_worm_moves=None, interpret=False):
+                  max_worm_moves=None, interpret=False, force_strips=False,
+                  strip_rows=None):
     """Run ``sweeps`` fused neighborhood sweeps followed by ``worms`` classic
     worms per chain, in one Pallas launch.
 
@@ -357,6 +437,10 @@ def hammer_sweeps(seed, phi, n, *, N, kappa, W, interval_phi, interval_n,
     ``chains_per_program`` > 1 packs chains in the interleaved layout so small
     lattices (N < 128) fill the vector lanes; needs ``C1·N % 128 == 0`` where
     C1 = min(cpp, 128 // N) — e.g. ``chains_per_program=2`` at N=64.
+
+    ``N ≥ 512`` (or ``force_strips``) dispatches to the strip-regime kernel:
+    the strip-chunked sweep body followed by the same worm section, one chain
+    per program (``strip_rows`` overrides the strip height for testing).
 
     ``max_worm_moves`` bounds each worm's move count (exact truncation-rollback
     at W ≠ 1: an unclosed worm's field changes are undone from an in-kernel
@@ -376,6 +460,66 @@ def hammer_sweeps(seed, phi, n, *, N, kappa, W, interval_phi, interval_n,
     ``Worm_Truncated`` (G,).
     """
     B = phi.shape[0]
+    cap = None if max_worm_moves is None else int(max_worm_moves)
+    if N >= STRIP_THRESHOLD or force_strips:
+        # Strip regime: one chain per program, strip sweep body + worm section.
+        if chains_per_program != 1:
+            raise ValueError('the strip-regime hammer runs one chain per '
+                             'program (chains_per_program=1)')
+        if N % 128 != 0 and not interpret:
+            raise ValueError('hammer_sweeps needs N to be a multiple of 128 '
+                             '(the worm section addresses whole 128-lane tiles)')
+        Rb = _strip_rows(N) if strip_rows is None else int(strip_rows)
+        if N % Rb != 0 or Rb % 2 != 0:
+            raise ValueError(f'strip_rows must be an even divisor of N (got '
+                             f'Rb={Rb}, N={N})')
+        # At N=1024 with rollback snapshots the resident state (φ 4 + n 8 +
+        # hist 4 + r 8 + snap 16 MB) plus pipelined block buffers and strip
+        # temporaries exceeds the conservative 100 MB scoped-vmem budget the
+        # plain strip kernels use; grant the full v5e VMEM minus runtime
+        # margin, and shrink the strips to cut the temporary footprint.
+        vmem_limit = 127 * 1024 * 1024
+        if strip_rows is None and N >= 1024:
+            Rb = min(Rb, 128)
+        kernel = _make_strip_hammer_kernel(N, Rb, kappa, W, interval_phi,
+                                           interval_n, sweeps, worms, p_n=p_n,
+                                           worm_cap=cap)
+        scratch = [pltpu.VMEM((N, N), jnp.float32),
+                   pltpu.VMEM((N, N), jnp.float32)]
+        if cap is not None and W != 1:
+            scratch += [pltpu.VMEM((N, N), jnp.int32),
+                        pltpu.VMEM((N, N), jnp.int32),
+                        pltpu.VMEM((N, N), jnp.float32),
+                        pltpu.VMEM((N, N), jnp.float32)]
+        phi_spec = pl.BlockSpec((1, 1, N, N), lambda i: (i, 0, 0, 0),
+                                memory_space=pltpu.VMEM)
+        n_spec = pl.BlockSpec((1, 2, N, N), lambda i: (i, 0, 0, 0),
+                              memory_space=pltpu.VMEM)
+        out_phi, out_n, hist, stat = pl.pallas_call(
+            kernel,
+            grid=(B,),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM), phi_spec, n_spec],
+            out_specs=(phi_spec, n_spec,
+                       pl.BlockSpec((1, N, N), lambda i: (i, 0, 0),
+                                    memory_space=pltpu.VMEM),
+                       pl.BlockSpec((1, 8, 128), lambda i: (i, 0, 0),
+                                    memory_space=pltpu.VMEM)),
+            out_shape=(jax.ShapeDtypeStruct(phi.shape, jnp.float32),
+                       jax.ShapeDtypeStruct(n.shape, jnp.int32),
+                       jax.ShapeDtypeStruct((B, N, N), jnp.float32),
+                       jax.ShapeDtypeStruct((B, 8, 128), jnp.float32)),
+            scratch_shapes=scratch,
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=vmem_limit),
+            interpret=interpret,
+        )(jnp.asarray(seed, jnp.int32).reshape(1), phi, n)
+        inline = {'ActionDensity': stat[:, 1, 0] / sweeps,
+                  'WindingSquared': stat[:, 2, 0] / sweeps,
+                  'Vortex_Vortex': hist,
+                  'Worm_Length': jnp.sum(hist, axis=(1, 2)),
+                  'Worm_Truncated': stat[:, 4, 0]}
+        return out_phi, out_n, stat[:, 0, 0], inline
+
     C = chains_per_program
     if B % C != 0:
         raise ValueError(f'{B} chains not divisible by chains_per_program={C}')
@@ -404,13 +548,14 @@ def hammer_sweeps(seed, phi, n, *, N, kappa, W, interval_phi, interval_n,
     phi_p = pack(phi) if C > 1 else phi
     n_p = pack(n) if C > 1 else n
 
-    cap = None if max_worm_moves is None else int(max_worm_moves)
     kernel = _make_hammer_kernel(N, kappa, W, interval_phi, interval_n,
                                  sweeps, worms, C0=C0, C1=C1, p_n=p_n,
                                  worm_cap=cap)
     scratch = [pltpu.VMEM((R, CN), jnp.float32),
                pltpu.VMEM((R, CN), jnp.float32)]
-    if cap is not None:
+    # At W = 1 an open (truncated) worm is a valid configuration — no rollback,
+    # so no snapshot scratch (mirrors classic_worms' W != 1 guard).
+    if cap is not None and W != 1:
         scratch += [pltpu.VMEM((R, CN), jnp.int32),
                     pltpu.VMEM((R, CN), jnp.int32),
                     pltpu.VMEM((R, CN), jnp.float32),

@@ -215,9 +215,13 @@ def _make_kernel(N, kappa, W, interval_v, interval_t, interval_w, sweeps,
 
 
 def _strip_sweep_section(N, Rb, kappa, W, interval_v, interval_t, interval_w,
-                         sweeps, m_out, v_out, dv0_s, dv1_s):
+                         sweeps, m_out, v_out, dv0_s, dv1_s,
+                         with_action=False):
     """Trace ``sweeps`` strip-chunked worldline local-update stacks in place
-    over the VMEM-resident refs; returns the traced accepted-count total.
+    over the VMEM-resident refs; returns the traced accepted-count total (or
+    ``(acc, sS)`` with ``with_action=True``, where sS accumulates the per-sweep
+    action density (1/2κ)Σ(m − δv/_W)²/Λ for the fused Hammer's inline
+    blocked measurement).
 
     Same rationale and structure as
     :func:`..pallas_sweep._strip_sweep_section`: the monolithic body's
@@ -360,14 +364,26 @@ def _strip_sweep_section(N, Rb, kappa, W, interval_v, interval_t, interval_w,
             acc = acc + jnp.sum(a1.astype(jnp.float32))
         return acc
 
-    def sweep(t, acc):
+    def sweep(t, state):
+        if with_action:
+            acc, sS = state
+        else:
+            acc = state
         for which in (0, 1):
             for color in (0, 1):
                 for s in range(S):
                     acc = plaquette_pass(color, s, acc, which=which)
-        return wrapping_pass(acc)
+        acc = wrapping_pass(acc)
+        if not with_action:
+            return acc
+        l0 = m_out[0, 0].astype(jnp.float32) - dv0_s[:] / fW
+        l1 = m_out[0, 1].astype(jnp.float32) - dv1_s[:] / fW
+        sS = sS + inv2k * (jnp.sum(l0 * l0) + jnp.sum(l1 * l1)) \
+            * np.float32(1.0 / (N * N))
+        return acc, sS
 
-    return jax.lax.fori_loop(0, sweeps, sweep, jnp.float32(0.0))
+    init = (jnp.float32(0.0), jnp.float32(0.0)) if with_action else jnp.float32(0.0)
+    return jax.lax.fori_loop(0, sweeps, sweep, init)
 
 
 def _make_strip_kernel(N, Rb, kappa, W, interval_v, interval_t, interval_w, sweeps):

@@ -28,9 +28,13 @@ arrival site with Δm = −orientation; Metropolis on
 ΔS = (1/2κ) Δm (2u + Δm) of the crossed link; when head == tail a
 1/(2D+1)-conditional close move ends the worm; every non-close move tallies
 the head−tail displacement into the inline ``Spin_Spin`` histogram.  Worms run
-*unbounded* (no ``max_moves`` truncation needed — there is no cross-chain
-lock-step to protect), so the histogram carries no truncation bias.  The PRNG
-stream is the on-core hardware PRNG, so agreement with the XLA path is
+unbounded *by default* (there is no cross-chain lock-step to protect, so no
+cap is structurally required) — but an unbounded worm's step time is also
+unbounded, and production fleets should pass ``max_worm_moves`` (e.g. 64·N²,
+the :func:`~supervillain_tpu.parallel.fused_fleet.sample_fused_fleet`
+default): see :func:`_worm_section` for the truncation-rollback semantics and
+the documented short-separation histogram bias when truncation fires.  The
+PRNG stream is the on-core hardware PRNG, so agreement with the XLA path is
 statistical, not bitwise.
 
 Works at any W **including W = ∞**: the worm only changes m (v and δv are
@@ -52,7 +56,9 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .pallas_sweep import _exp_neg, _roll
-from .pallas_worldline import _monolithic_passes, _delta2
+from .pallas_worldline import (_monolithic_passes, _delta2,
+                               _strip_sweep_section, _strip_rows,
+                               STRIP_THRESHOLD)
 
 _GOLD = np.int32(2654435761 & 0x7FFFFFFF)
 
@@ -352,12 +358,61 @@ def _make_hammer_kernel(N, kappa, W, interval_v, interval_t, interval_w,
     return kernel
 
 
+def _make_strip_hammer_kernel(N, Rb, kappa, W, interval_v, interval_t,
+                              interval_w, sweeps, worms, worm_cap=None):
+    """Strip-regime fused Worldline Hammer (N ≥ 512): the strip-chunked
+    local-update stack (:func:`..pallas_worldline._strip_sweep_section`)
+    followed by the same in-kernel worm section on link residuals computed
+    from the strip state — the geometry-unconditional Hammer composition
+    (reference /root/reference/supervillain/generator/worldline/__init__.py:9-40)
+    at the volumes the monolithic body cannot compile."""
+    winf = (W == float('inf'))
+    inv2k = np.float32(0.5 / float(kappa))
+    fW = np.float32(2 * np.pi) if winf else np.float32(W)
+
+    def kernel(seed_ref, m_ref, v_ref, m_out, v_out, hist_ref, stat_ref,
+               dv0_s, dv1_s, l0_s, l1_s, *snap):
+        pltpu.prng_seed(seed_ref[0] + pl.program_id(0) * _GOLD)
+        m_out[0, 0] = m_ref[0, 0]
+        m_out[0, 1] = m_ref[0, 1]
+        v_out[0, 0] = v_ref[0, 0]
+        v0 = v_ref[0, 0]
+        dv0_s[:] = (v0 - _roll(v0, 1, 1)).astype(jnp.float32)
+        dv1_s[:] = (-(v0 - _roll(v0, 1, 0))).astype(jnp.float32)
+
+        # ---- section 1: strip-chunked vortex/coexact/wrapping sweeps -------
+        acc, sS = _strip_sweep_section(N, Rb, kappa, W, interval_v, interval_t,
+                                       interval_w, sweeps, m_out, v_out,
+                                       dv0_s, dv1_s, with_action=True)
+
+        # ---- section 2: classic worms on the resident residuals ------------
+        hist_ref[0] = jnp.zeros((N, N), jnp.float32)
+        l0_s[:] = m_out[0, 0].astype(jnp.float32) - dv0_s[:] / fW
+        l1_s[:] = m_out[0, 1].astype(jnp.float32) - dv1_s[:] / fW
+        truncations = _worm_section(N, N, kappa, worms, m_out, hist_ref,
+                                    l0_s, l1_s, snap=snap or None,
+                                    cap=worm_cap)
+
+        length = jnp.sum(hist_ref[0])
+        stat_ref[0] = jnp.concatenate([
+            jnp.full((1, 128), acc, jnp.float32),
+            jnp.full((1, 128), sS, jnp.float32),
+            jnp.full((1, 128), length, jnp.float32),
+            jnp.full((1, 128), truncations.astype(jnp.float32), jnp.float32),
+            jnp.zeros((4, 128), jnp.float32),
+        ], axis=0)
+
+    return kernel
+
+
 @partial(jax.jit, static_argnames=('N', 'kappa', 'W', 'interval_v', 'interval_t',
                                    'interval_w', 'sweeps', 'worms',
-                                   'max_worm_moves', 'interpret'))
+                                   'max_worm_moves', 'interpret', 'force_strips',
+                                   'strip_rows'))
 def worldline_hammer_sweeps(seed, m, v, *, N, kappa, W, interval_v=1,
                             interval_t=1, interval_w=1, sweeps=1, worms=1,
-                            max_worm_moves=None, interpret=False):
+                            max_worm_moves=None, interpret=False,
+                            force_strips=False, strip_rows=None):
     """Run ``sweeps`` fused worldline local-update stacks followed by ``worms``
     classic worms per chain, in one Pallas launch — the complete reference
     worldline Hammer (vortex + coexact + wrapping + worm) as one program.
@@ -380,19 +435,63 @@ def worldline_hammer_sweeps(seed, m, v, *, N, kappa, W, interval_v=1,
     the worm ``Spin_Spin`` histogram (B, N, N), ``Worm_Length`` (B,), and the
     ``Worm_Truncated`` count (B,).
     """
-    if N % 128 != 0:
+    if N % 128 != 0 and not interpret:
         raise ValueError('worldline_hammer_sweeps needs N to be a multiple of '
                          '128 (the worm section addresses whole 128-lane '
                          'tiles); compose worldline_sweeps + worldline_worms '
                          'for other sizes.')
-    if N > 256:
-        raise ValueError('worldline_hammer_sweeps uses the monolithic sweep '
-                         'body (N <= 256); compose worldline_sweeps (strip '
-                         'kernel) + worldline_worms above that.')
     B = m.shape[0]
     vdt = jnp.float32 if W == float('inf') else jnp.int32
     v = v.astype(vdt)
     cap = None if max_worm_moves is None else int(max_worm_moves)
+    if N >= STRIP_THRESHOLD or force_strips:
+        # Strip regime: the monolithic sweep body cannot compile above N=256;
+        # dispatch to the strip-chunked sweep section + worm composition.
+        Rb = _strip_rows(N) if strip_rows is None else int(strip_rows)
+        if N % Rb != 0 or Rb % 2 != 0:
+            raise ValueError(f'strip_rows must be an even divisor of N (got '
+                             f'Rb={Rb}, N={N})')
+        if strip_rows is None and N >= 1024:
+            Rb = min(Rb, 128)
+        kernel = _make_strip_hammer_kernel(N, Rb, kappa, W, interval_v,
+                                           interval_t, interval_w, sweeps,
+                                           worms, worm_cap=cap)
+        scratch = [pltpu.VMEM((N, N), jnp.float32),   # dv0
+                   pltpu.VMEM((N, N), jnp.float32),   # dv1
+                   pltpu.VMEM((N, N), jnp.float32),   # l0
+                   pltpu.VMEM((N, N), jnp.float32)]   # l1
+        if cap is not None:
+            scratch += [pltpu.VMEM((N, N), jnp.int32),
+                        pltpu.VMEM((N, N), jnp.int32),
+                        pltpu.VMEM((N, N), jnp.float32),
+                        pltpu.VMEM((N, N), jnp.float32)]
+        m_spec = pl.BlockSpec((1, 2, N, N), lambda i: (i, 0, 0, 0),
+                              memory_space=pltpu.VMEM)
+        v_spec = pl.BlockSpec((1, 1, N, N), lambda i: (i, 0, 0, 0),
+                              memory_space=pltpu.VMEM)
+        out_m, out_v, hist, stat = pl.pallas_call(
+            kernel,
+            grid=(B,),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM), m_spec, v_spec],
+            out_specs=(m_spec, v_spec,
+                       pl.BlockSpec((1, N, N), lambda i: (i, 0, 0),
+                                    memory_space=pltpu.VMEM),
+                       pl.BlockSpec((1, 8, 128), lambda i: (i, 0, 0),
+                                    memory_space=pltpu.VMEM)),
+            out_shape=(jax.ShapeDtypeStruct(m.shape, jnp.int32),
+                       jax.ShapeDtypeStruct(v.shape, vdt),
+                       jax.ShapeDtypeStruct((B, N, N), jnp.float32),
+                       jax.ShapeDtypeStruct((B, 8, 128), jnp.float32)),
+            scratch_shapes=scratch,
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=127 * 1024 * 1024),
+            interpret=interpret,
+        )(jnp.asarray(seed, jnp.int32).reshape(1), m.astype(jnp.int32), v)
+        inline = {'ActionDensity': stat[:, 1, 0] / sweeps,
+                  'Spin_Spin': hist,
+                  'Worm_Length': stat[:, 2, 0],
+                  'Worm_Truncated': stat[:, 3, 0]}
+        return out_m, out_v, stat[:, 0, 0], inline
     kernel = _make_hammer_kernel(N, kappa, W, interval_v, interval_t,
                                  interval_w, sweeps, worms, worm_cap=cap)
     scratch = [pltpu.VMEM((N, N), jnp.float32),

@@ -32,6 +32,35 @@ from .fleet import Fleet
 from ..models import Worldline
 
 
+#: Truncated-worm fraction above which inline worm histograms should not be
+#: used quantitatively (the short-separation bias scales with this fraction).
+TRUNCATION_BUDGET = 1e-3
+
+
+def check_truncation_budget(truncated, total_worms, *, budget=TRUNCATION_BUDGET,
+                            context=''):
+    """Warn loudly when the truncated fraction of worms exceeds ``budget``.
+
+    Capped in-kernel worms roll back exactly (the sampled distribution is
+    unbiased) but their *histogram tallies are kept*, so the inline
+    Vortex_Vortex / Spin_Spin correlators carry a short-separation bias
+    proportional to the truncated fraction.  Production guidance
+    (generators/villain.py ClassicWorm docstring): keep it ≲ 1e-3 or raise
+    ``max_worm_moves``.  Returns the fraction.
+    """
+    total_worms = max(1, int(total_worms))
+    frac = float(truncated) / total_worms
+    if frac > budget:
+        import warnings
+        warnings.warn(
+            f'{context}{float(truncated):.0f}/{total_worms} worms truncated '
+            f'(fraction {frac:.2e} > {budget:g}) — inline worm histograms '
+            f'carry short-separation bias at this point; raise '
+            f'max_worm_moves or exclude the inline correlator from fits.',
+            stacklevel=2)
+    return frac
+
+
 def _fused_launch(action, *, N, thin, interval_phi, interval_n, p_n,
                   chains_per_program, mesh=None, interpret=False, kernel_fn=None,
                   worms=0, max_worm_moves=None):
@@ -140,9 +169,11 @@ def sample_fused_fleet(action, *, chains, steps, thin=10, seed=0,
     ``worms > 0`` runs the fused Hammer kernel instead: every record's ``thin``
     sweeps are followed by that many in-kernel classic worms per chain, whose
     inline worm histogram (``Vortex_Vortex`` for Villain, ``Spin_Spin`` for
-    Worldline) and ``Worm_Length`` become additional fleet columns (requires N
-    a multiple of 128; the Villain hammer additionally needs finite W — the
-    Worldline hammer runs at any W including ∞).
+    Worldline) and ``Worm_Length`` become additional fleet columns.  Requires
+    N a multiple of 128; both hammers run at any W including ∞ (the Villain
+    hammer's sweep section switches to z-mode at W = ∞ with the worm kept),
+    and both dispatch to the strip-regime bodies above N = 256, so the Hammer
+    path is geometry-unconditional across the production envelope.
     """
     L = action.Lattice
     N = L.N
@@ -195,6 +226,11 @@ def sample_fused_fleet(action, *, chains, steps, thin=10, seed=0,
                        for k, v in record.items()}
         for k, v in record.items():
             columns[k][i] = v
+
+    if columns is not None and 'Worm_Truncated' in columns:
+        check_truncation_budget(columns['Worm_Truncated'].sum(),
+                                worms * steps * chains,
+                                context='sample_fused_fleet: ')
 
     proposals = chains * ((2 * L.sites + 2 * N) if worldline else L.sites) \
         * thin * steps

@@ -152,10 +152,15 @@ def test_worldline_fused_hammer_falls_back_on_cpu():
     e = sv.Ensemble(S).generate(10, G, seed=6)
     for i in range(10):
         assert S.valid({'m': e.m[i]})
-    # The fallback composes the full reference Hammer stack.
-    names = [type(g).__name__ for g in G._fallback.generators]
-    assert names == ['VortexUpdate', 'CoexactUpdate', 'WrappingUpdate',
-                     'ClassicWorm']
+    # The fallback composes the full reference Hammer stack with the same
+    # per-step sweep density as the kernel: sweeps_per_step of each local
+    # pass (KeepEvery), then the worm.
+    parts = G._fallback.generators
+    names = [type(g).__name__ for g in parts]
+    assert names == ['KeepEvery', 'KeepEvery', 'KeepEvery', 'ClassicWorm']
+    inner = [type(g.generator).__name__ for g in parts[:3]]
+    assert inner == ['VortexUpdate', 'CoexactUpdate', 'WrappingUpdate']
+    assert all(g.n == 2 for g in parts[:3])
 
 
 def test_worldline_fused_hammer_winf_fallback():

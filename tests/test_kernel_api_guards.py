@@ -43,11 +43,28 @@ def test_worldline_hammer_rejects_odd_geometry():
         worldline_hammer_sweeps(jnp.int32(1), m, v, N=64, kappa=0.5, W=2)
 
 
-def test_worldline_hammer_rejects_large_monolithic():
+def test_worldline_hammer_strip_dispatch_guards():
+    """N >= 512 dispatches to the strip-regime hammer (no more 'monolithic
+    only' rejection — VERDICT r4 #1); its strip_rows validation still guards
+    bad overrides before any kernel is built."""
     from supervillain_tpu.ops.pallas_worldline_hammer import worldline_hammer_sweeps
     m, v = _worldline_state(1, 512)
-    with pytest.raises(ValueError, match='monolithic'):
-        worldline_hammer_sweeps(jnp.int32(1), m, v, N=512, kappa=0.5, W=2)
+    with pytest.raises(ValueError, match='even divisor'):
+        worldline_hammer_sweeps(jnp.int32(1), m, v, N=512, kappa=0.5, W=2,
+                                strip_rows=3)
+
+
+def test_villain_hammer_strip_dispatch_guards():
+    from supervillain_tpu.ops.pallas_hammer import hammer_sweeps
+    phi = jnp.zeros((1, 1, 512, 512), jnp.float32)
+    n = jnp.zeros((1, 2, 512, 512), jnp.int32)
+    with pytest.raises(ValueError, match='even divisor'):
+        hammer_sweeps(jnp.int32(1), phi, n, N=512, kappa=0.5, W=2,
+                      interval_phi=0.7, interval_n=1, sweeps=1, strip_rows=3)
+    with pytest.raises(ValueError, match='one chain per program'):
+        hammer_sweeps(jnp.int32(1), phi, n, N=512, kappa=0.5, W=2,
+                      interval_phi=0.7, interval_n=1, sweeps=1,
+                      chains_per_program=2)
 
 
 def test_fused_fleet_rejects_indivisible_mesh():

@@ -270,3 +270,25 @@ def test_hammer_fleet_composition():
     parts = gv.Hammer(SV2).generators
     worms = [g for g in parts if type(g).__name__ == 'ClassicWorm']
     assert worms and worms[0].max_moves is None
+
+
+def test_truncation_budget_warning():
+    """check_truncation_budget (VERDICT r4 #8): silent below the budget, a
+    loud UserWarning above it, and the returned fraction is exact."""
+    import warnings
+    from supervillain_tpu.parallel.fused_fleet import check_truncation_budget
+
+    with warnings.catch_warnings():
+        warnings.simplefilter('error')  # any warning -> failure
+        frac = check_truncation_budget(0, 1000)
+        assert frac == 0.0
+        frac = check_truncation_budget(1, 10000)  # 1e-4 <= 1e-3
+        assert frac == 1e-4
+
+    with pytest.warns(UserWarning, match='short-separation bias'):
+        frac = check_truncation_budget(50, 1000, context='kappa=0.2: ')
+    assert frac == 0.05
+
+    # Tighter budgets trip earlier.
+    with pytest.warns(UserWarning, match='worms truncated'):
+        check_truncation_budget(1, 10000, budget=1e-5)
