@@ -132,24 +132,49 @@ def _worldline_hammer_rate(jnp, L, B, sweeps, worms, reps, kappa, W=2):
     At equilibrium the worm length is set by physics (≈ the spin
     susceptibility — tens of thousands of moves per worm at κ=0.5), and every
     worm move is sampling work, so the headline counts sweep site-updates AND
-    worm moves as update operations.  Returns (updates/s, sweep-su/s,
-    worm-moves/s, elapsed)."""
+    worm moves as update operations.  The per-rep inline arrays are
+    accumulated ON DEVICE and converted to floats only after the final
+    host-readback gate — a float() inside the timed loop would force a device
+    sync per rep and deflate the rate (round-4 advisor finding).  Returns
+    (updates/s, sweep-su/s, worm-moves/s, elapsed)."""
     from supervillain_tpu.ops.pallas_worldline_hammer import worldline_hammer_sweeps
+    kw = dict(N=L, kappa=kappa, W=W, sweeps=sweeps, worms=worms,
+              max_worm_moves=64 * L * L)
     m = jnp.zeros((B, 2, L, L), jnp.int32)
     v = jnp.zeros((B, 1, L, L), jnp.int32)
-    m, v, acc, inline = worldline_hammer_sweeps(jnp.int32(1), m, v, N=L,
-                                                kappa=kappa, W=W, sweeps=sweeps,
-                                                worms=worms)
+    m, v, acc, inline = worldline_hammer_sweeps(jnp.int32(1), m, v, **kw)
     float(acc.sum())
-    moves = 0.0
+    per_rep_moves = []
     start = time.perf_counter()
     for k in range(reps):
-        m, v, acc, inline = worldline_hammer_sweeps(jnp.int32(2 + k), m, v, N=L,
-                                                    kappa=kappa, W=W,
-                                                    sweeps=sweeps, worms=worms)
-        moves += float(inline['Worm_Length'].sum())
+        m, v, acc, inline = worldline_hammer_sweeps(jnp.int32(2 + k), m, v, **kw)
+        per_rep_moves.append(inline['Worm_Length'].sum())
     float(acc.sum())
     elapsed = time.perf_counter() - start
+    moves = float(sum(float(x) for x in per_rep_moves))
+    su = reps * B * L * L * sweeps
+    return (su + moves) / elapsed, su / elapsed, moves / elapsed, elapsed
+
+
+def _villain_hammer_rate(jnp, L, B, sweeps, worms, reps, kappa, W=2, p_n=0.05):
+    """Villain fused-Hammer throughput (sweeps + in-kernel worms, one launch;
+    strip-regime kernel above L=256).  Same single-end-gate timing discipline
+    as :func:`_worldline_hammer_rate`."""
+    from supervillain_tpu.ops.pallas_hammer import hammer_sweeps
+    kw = dict(N=L, kappa=kappa, W=W, interval_phi=0.7, interval_n=1, p_n=p_n,
+              sweeps=sweeps, worms=worms, max_worm_moves=64 * L * L)
+    phi = jnp.zeros((B, 1, L, L), jnp.float32)
+    n = jnp.zeros((B, 2, L, L), jnp.int32)
+    phi, n, acc, inline = hammer_sweeps(jnp.int32(1), phi, n, **kw)
+    float(acc.sum())
+    per_rep_moves = []
+    start = time.perf_counter()
+    for k in range(reps):
+        phi, n, acc, inline = hammer_sweeps(jnp.int32(2 + k), phi, n, **kw)
+        per_rep_moves.append(inline['Worm_Length'].sum())
+    float(acc.sum())
+    elapsed = time.perf_counter() - start
+    moves = float(sum(float(x) for x in per_rep_moves))
     su = reps * B * L * L * sweeps
     return (su + moves) / elapsed, su / elapsed, moves / elapsed, elapsed
 
@@ -230,9 +255,11 @@ def main():
 
     N = 256
     kappa = 0.5
-    # 256 chains: the grid needs enough programs in flight to overlap DMA and
-    # compute; 2x the chains over round 2 is worth ~25% su/s at every L.
-    chains = 256
+    # 512 chains: the grid needs enough programs in flight to overlap the
+    # launch-boundary DMA with compute; the round-5 chain sweep showed the
+    # knee is much higher than round 4 assumed (256→512 chains at L=256 is
+    # worth +10%, 16→128 at L=1024 is worth +40%).
+    chains = 512
     on_tpu = jax.default_backend() not in ('cpu',)
     fast = os.environ.get('BENCH_FAST') == '1'
 
@@ -265,11 +292,21 @@ def main():
 
         sweep_table = {}
         if not fast:
-            for (Lx, Bx, cpp) in ((64, 1024, 16), (128, 512, 4), (512, 64, 1),
-                                  (1024, 16, 1)):
+            for (Lx, Bx, cpp) in ((64, 2048, 16), (128, 1024, 4), (512, 256, 1),
+                                  (1024, 128, 1)):
                 rx, _, _ = median_of(3, Lx, Bx, sweeps=50, reps=3, kappa=kappa, cpp=cpp)
                 sweep_table[f'L={Lx}'] = rx
         sweep_table[f'L={N}'] = rate
+
+        # Villain fused Hammer (sweeps + in-kernel worms, one launch) across
+        # the whole envelope — the strip-regime kernel serves L >= 512.
+        vh_table = {}
+        if not fast:
+            for (Lx, Bx) in ((256, 256), (512, 128), (1024, 64)):
+                samples = sorted(_villain_hammer_rate(
+                    jnp, Lx, Bx, sweeps=50, worms=1, reps=3, kappa=kappa)
+                    for _ in range(3))
+                vh_table[f'L={Lx}'] = samples[1][1]  # sweep su/s
 
         # Worldline formulation: the dual half of the framework, same timing
         # discipline (median of k).  su = site through one full
@@ -280,8 +317,8 @@ def main():
 
         wl_table = {}
         if not fast:
-            for (Lx, Bx, cppx) in ((64, 1024, 16), (128, 512, 4), (512, 64, 1),
-                                   (1024, 16, 1)):
+            for (Lx, Bx, cppx) in ((64, 2048, 16), (128, 1024, 4), (512, 256, 1),
+                                   (1024, 128, 1)):
                 wl_table[f'L={Lx}'] = wl_median(3, Lx, Bx, sweeps=50, reps=3,
                                                 kappa=kappa, cpp=cppx)
         wl_rate = wl_median(k_samples, N, chains, sweeps=50, reps=3, kappa=kappa)
@@ -294,24 +331,35 @@ def main():
 
         wl_hammer_rate, wl_h_su, wl_h_moves, _ = wlh_median(
             k_samples, N, chains, sweeps=50, worms=1, reps=3, kappa=kappa)
+        wlh_table = {}
+        if not fast:
+            for (Lx, Bx) in ((512, 64), (1024, 32)):
+                s = wlh_median(3, Lx, Bx, sweeps=50, worms=1, reps=3, kappa=kappa)
+                wlh_table[f'L={Lx}'] = s[1]  # sweep su/s
 
         # Real-chip per-device saturation curve (the missing link in the
         # multi-chip ≥90% structural argument): su/s vs chains at fixed L.
         # Once the curve is flat the chip is saturated; adding chips adds
         # saturated batches with zero collectives, so weak scaling is
-        # communication-free by construction.
+        # communication-free by construction.  Round 4 stopped at 512 chains
+        # while still rising (VERDICT r4 #3); the curve now extends until the
+        # last octave gains <= 5% or 4096 chains.
         chip_curve = {}
         if not fast:
-            for Bx in (16, 32, 64, 128, 256, 512):
+            prev = None
+            for Bx in (16, 32, 64, 128, 256, 512, 1024, 2048, 4096):
                 rx, _, _ = median_of(3, 128, Bx, sweeps=50, reps=3,
                                      kappa=kappa, cpp=4)
                 chip_curve[f'chains={Bx}'] = rx
+                if prev is not None and rx < prev * 1.05 and Bx >= 1024:
+                    break
+                prev = rx
 
         base_steps = 5
         base_elapsed = numpy_baseline_sweep(N, kappa, 1, base_steps, np.random.default_rng(0))
         base_rate = (N * N * base_steps) / base_elapsed
-        print(json.dumps({
-            'metric': 'site-updates/s/chip (Villain NeighborhoodUpdate, pallas-fused, L=256, 256 chains)',
+        full = {
+            'metric': f'site-updates/s/chip (Villain NeighborhoodUpdate, pallas-fused, L=256, {chains} chains)',
             'value': rate,
             'unit': 'site-updates/s',
             'vs_baseline': rate / base_rate,
@@ -370,7 +418,38 @@ def main():
                 'scaling': _scaling_with_chip_curve(_scaling_summary(fast),
                                                     chip_curve),
             },
-        }))
+        }
+        full['detail']['villain_hammer_sweep_su_per_s'] = vh_table
+        full['detail']['worldline']['hammer_sweep_su_per_s_by_L'] = wlh_table
+
+        # The driver captures a bounded stdout tail, so the LAST line must be
+        # one compact machine-parseable JSON record (VERDICT r4 #7); the full
+        # nested blob goes to a committed artifact file instead.
+        here = os.path.dirname(os.path.abspath(__file__))
+        detail_path = os.environ.get('BENCH_DETAIL_PATH',
+                                     os.path.join(here, 'BENCH_DETAIL.json'))
+        with open(detail_path, 'w') as f:
+            json.dump(full, f, indent=1)
+        scaling = full['detail']['scaling'] or {}
+        eff = {str(r['devices']): round(r['efficiency'], 3)
+               for r in (scaling.get('weak_scaling_virtual_cpu') or [])}
+        compact = {
+            'metric': full['metric'],
+            'value': rate,
+            'unit': 'site-updates/s',
+            'vs_baseline': rate / base_rate,
+            'L_sweep': {k: round(v / 1e9, 2) for k, v in sweep_table.items()},
+            'villain_hammer': {k: round(v / 1e9, 2) for k, v in vh_table.items()},
+            'worldline': {k: round(v / 1e9, 2) for k, v in wl_table.items()},
+            'worldline_hammer_updates_per_s': round(wl_hammer_rate / 1e6, 1),
+            'chip_curve_L128': {k: round(v / 1e9, 2)
+                                for k, v in chip_curve.items()},
+            'weak_scaling_eff_virtual_cpu': eff,
+            'vpu_fraction_no_fma': round(
+                rate * OPS_PER_SITE_UPDATE / V5E_VPU_PEAK, 3),
+            'detail_file': os.path.basename(detail_path),
+        }
+        print(json.dumps(compact))
         return
 
     L = sv.Lattice2D(N)

@@ -60,7 +60,9 @@ def scaling_efficiency(N=32, chains_per_device=8, steps=10, device_counts=None,
     S = sv.Villain(sv.Lattice2D(N), kappa, W=1)
     results = []
     base = None
-    print(f'{"devices":>8} {"chains":>7} {"sweeps/s":>12} {"su/s":>14} {"efficiency":>11}')
+    base_core = None
+    print(f'{"devices":>8} {"chains":>7} {"sweeps/s":>12} {"su/s":>14} '
+          f'{"efficiency":>11} {"cores busy":>11} {"eff/core":>9}')
     for nd in device_counts:
         mesh = Mesh(np.array(devices[:nd]), ('chains',)) if nd > 1 else None
         chains = chains_per_device * nd
@@ -69,18 +71,34 @@ def scaling_efficiency(N=32, chains_per_device=8, steps=10, device_counts=None,
         out, _ = run(jax.random.key(0), cfgs, stats)
         float(jax.tree.leaves(out)[0])
         start = time.perf_counter()
+        cpu0 = time.process_time()
         out, _ = run(jax.random.key(1), cfgs, stats)
         float(jax.tree.leaves(out)[0])
         elapsed = time.perf_counter() - start
+        # Cores kept busy during the run: on a VIRTUAL device mesh every
+        # "device" executes on this process's shared XLA:CPU thread pool, so
+        # the 1-device baseline already spreads one device's work across ALL
+        # physical cores (intra-op parallelism).  The naive per-device
+        # efficiency therefore compares n devices against an inflated
+        # baseline; per-CORE efficiency divides that inflation out and is the
+        # number that predicts real multi-chip behavior (one chip per
+        # process, no shared pool).  See MULTICHIP.md §weak-scaling.
+        cores_busy = (time.process_time() - cpu0) / max(elapsed, 1e-9)
         sweeps_per_s = chains * steps / elapsed
         su_per_s = sweeps_per_s * N * N
         per_device = sweeps_per_s / nd
+        per_core = sweeps_per_s / max(cores_busy, 1e-9)
         if base is None:
             base = per_device
+            base_core = per_core
         eff = per_device / base
+        eff_core = per_core / base_core
         results.append({'devices': nd, 'chains': chains, 'sweeps_per_s': sweeps_per_s,
-                        'site_updates_per_s': su_per_s, 'efficiency': eff})
-        print(f'{nd:>8} {chains:>7} {sweeps_per_s:>12.1f} {su_per_s:>14.3e} {eff:>10.1%}')
+                        'site_updates_per_s': su_per_s, 'efficiency': eff,
+                        'cores_busy': cores_busy,
+                        'efficiency_per_core': eff_core})
+        print(f'{nd:>8} {chains:>7} {sweeps_per_s:>12.1f} {su_per_s:>14.3e} '
+              f'{eff:>10.1%} {cores_busy:>11.2f} {eff_core:>8.1%}')
     return results
 
 
@@ -226,12 +244,19 @@ if __name__ == '__main__':
             'collectives_in_space_sharded_step': space_collectives,
             'note': ('Chains are independent: the compiled SPMD step contains '
                      'zero cross-device collectives, so weak scaling is '
-                     'communication-free by construction. On a virtual CPU mesh '
-                     'the measured efficiency is bounded by physical host cores '
-                     '(devices oversubscribe cores), not by the program. The '
+                     'communication-free by construction. On a virtual CPU '
+                     'mesh the naive per-device efficiency is misleading at '
+                     'EVERY device count, including 2 devices on 2 cores: '
+                     'all virtual devices share one XLA:CPU intra-op thread '
+                     'pool, so the 1-device baseline already runs on every '
+                     'physical core (cores_busy > 1 in the table), inflating '
+                     'the denominator. efficiency_per_core divides the '
+                     'measured core occupancy out and is the program-level '
+                     'number that predicts real multi-chip behavior (one '
+                     'chip per host process, no shared pool). The '
                      'space-sharded Hammer step must instead show '
-                     'collective-permute > 0: XLA partitions the roll stencils '
-                     'with halo permutes riding ICI.'),
+                     'collective-permute > 0: XLA partitions the roll '
+                     'stencils with halo permutes riding ICI.'),
         }
         with open(args.json, 'w') as f:
             json.dump(payload, f, indent=1)

@@ -10,8 +10,12 @@ import logging
 import sys
 
 from .. import meta
+from .. import license as _license
 
+#: Short banner (parser epilogs); --copyright prints the full document.
 COPYRIGHT = f'supervillain-tpu {meta.version} ({meta.nickname})'
+#: SPDX tag; --license prints the full text (reference cli/metadata.py:12-50
+#: prints the complete license document, not a token).
 LICENSE = 'MIT'
 
 
@@ -66,8 +70,10 @@ def _log_parent():
 def _metadata_parent():
     parent = argparse.ArgumentParser(add_help=False)
     parent.add_argument('--version', action=_MetadataAction, text=meta.version)
-    parent.add_argument('--copyright', action=_MetadataAction, text=COPYRIGHT)
-    parent.add_argument('--license', action=_MetadataAction, text=LICENSE)
+    parent.add_argument('--copyright', action=_MetadataAction,
+                        text=_license.copyright())
+    parent.add_argument('--license', action=_MetadataAction,
+                        text=_license.license())
     return parent
 
 

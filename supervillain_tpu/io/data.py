@@ -22,6 +22,8 @@ import pickle
 
 import numpy as np
 
+from .. import meta
+
 #: Registered classes with a ``to_h5(group)`` method and a ``from_h5(group)``
 #: classmethod; ``write`` dispatches instances to their own schema and tags the
 #: node so ``read`` can find the class again.
@@ -75,7 +77,17 @@ def write(group, name, value):
     dict/list/tuple → recursive groups; str/bytes/scalars/ndarrays → datasets;
     None → tagged empty group; anything else → pickle fallback (like the
     reference's last-resort strategy, h5/data.py:74-76).
+
+    Every node is stamped with the running package ``@version`` so a
+    cross-version :func:`read` can warn (lenient) or refuse (strict) — the
+    reference's per-payload metadata check (h5/data.py:40-56).
     """
+    node = _write(group, name, value)
+    node.attrs['version'] = meta.version
+    return node
+
+
+def _write(group, name, value):
     cls_name = type(value).__name__
     if cls_name in readwriteable_registry and hasattr(value, 'to_h5'):
         g = group.create_group(name)
@@ -154,8 +166,16 @@ def write(group, name, value):
     return ds
 
 
-def read(node):
-    """Inverse of :func:`write`: reconstruct the object stored at ``node``."""
+def read(node, strict=True):
+    """Inverse of :func:`write`: reconstruct the object stored at ``node``.
+
+    ``strict`` controls the per-payload version check (reference
+    h5/data.py:40-56, 79-89): a payload stamped by a different package
+    version raises when strict and logs a warning otherwise; payloads
+    written before versioning pass silently.
+    """
+    from .h5 import check_version
+    check_version(node, strict=strict)
     strategy = node.attrs.get('strategy')
     if strategy == 'readwriteable':
         cls = readwriteable_registry[node.attrs['class']]
@@ -163,14 +183,14 @@ def read(node):
     if strategy == 'none':
         return None
     if strategy == 'dict':
-        return {k: read(node[k]) for k in node}
+        return {k: read(node[k], strict) for k in node}
     if strategy == 'dict-items':
         n = int(node.attrs['length'])
-        return {read(node[str(i)]['key']): read(node[str(i)]['value'])
+        return {read(node[str(i)]['key'], strict): read(node[str(i)]['value'], strict)
                 for i in range(n)}
     if strategy in ('list', 'tuple'):
         n = int(node.attrs['length'])
-        seq = [read(node[str(i)]) for i in range(n)]
+        seq = [read(node[str(i)], strict) for i in range(n)]
         return seq if strategy == 'list' else tuple(seq)
     if strategy == 'str':
         v = node[()]
@@ -188,5 +208,5 @@ def read(node):
     # Untagged nodes (e.g. hand-written files): best effort.
     import h5py
     if isinstance(node, h5py.Group):
-        return {k: read(node[k]) for k in node}
+        return {k: read(node[k], strict) for k in node}
     return np.asarray(node)

@@ -406,7 +406,10 @@ def _make_strip_kernel(N, Rb, kappa, W, interval_v, interval_t, interval_w, swee
     return kernel
 
 
-STRIP_THRESHOLD = 512
+# The worldline strip body (concat-shift stencils, RMW refs) measures FASTER
+# than the monolithic body from N=256 up (16.9 vs 15.4e9 su/s at L=256,
+# B=512, r5); the monolithic + chain-packing path still wins at N <= 128.
+STRIP_THRESHOLD = 256
 
 
 def _strip_rows(N):

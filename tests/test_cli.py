@@ -44,6 +44,33 @@ def test_metadata_flags_print_and_exit(flag, capsys):
     assert capsys.readouterr().out.strip()
 
 
+def test_license_flag_prints_full_text(capsys):
+    """--license prints the complete license document (reference
+    cli/metadata.py:12-50 + license.py read the shipped LICENSE file), not a
+    one-word SPDX token; --copyright includes the banner and the text; both
+    round-trip the repo-root LICENSE file."""
+    import pathlib
+    import supervillain_tpu.license as lic
+
+    parser = cli.ArgumentParser(description='test')
+    with pytest.raises(SystemExit):
+        parser.parse_args(['--license'])
+    text = capsys.readouterr().out
+    assert 'MIT License' in text
+    assert 'WITHOUT WARRANTY OF ANY KIND' in text
+    root = pathlib.Path(lic.__file__).parent.parent / 'LICENSE'
+    assert text.strip() == root.read_text().strip()
+
+    parser = cli.ArgumentParser(description='test')
+    with pytest.raises(SystemExit):
+        parser.parse_args(['--copyright'])
+    text = capsys.readouterr().out
+    assert 'supervillain-tpu' in text and 'MIT License' in text
+
+    # The embedded fallback matches the shipped file (installed w/o checkout).
+    assert lic._MIT.strip() == root.read_text().strip()
+
+
 def test_input_file_loads_module(tmp_path):
     path = tmp_path / 'config.py'
     path.write_text('import supervillain_tpu as sv\n'

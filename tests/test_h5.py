@@ -356,3 +356,47 @@ def test_object_dtype_array_falls_back_to_pickle(tmp_h5):
     write(tmp_h5, 'obj', arr)
     got = read(tmp_h5['obj'])
     assert got[0] == {'a': 1} and got[1] == [1, 2]
+
+
+def test_generic_payload_version_stamped(tmp_path):
+    """Every io.data payload node carries a @version stamp, and a
+    cross-version read raises (strict) or warns (lenient) — the reference's
+    per-payload metadata check (h5/data.py:40-76).  Pre-versioning payloads
+    (no attr) read silently."""
+    import h5py
+    import supervillain_tpu as sv
+    from supervillain_tpu import meta
+    from supervillain_tpu.io.data import write, read
+
+    path = tmp_path / 'payload.h5'
+    payload = {'a': [1, 2.5, 'three'], 'b': np.arange(4)}
+    with h5py.File(path, 'w') as f:
+        node = write(f, 'payload', payload)
+        assert node.attrs['version'] == meta.version
+        # Children are stamped too.
+        assert f['payload/a'].attrs['version'] == meta.version
+
+    with h5py.File(path, 'r') as f:
+        out = read(f['payload'])
+    assert out['a'] == [1, 2.5, 'three']
+
+    # Forge a different version: strict read raises, lenient read warns.
+    with h5py.File(path, 'a') as f:
+        f['payload'].attrs['version'] = 'not-this-version'
+    with h5py.File(path, 'r') as f:
+        with pytest.raises(ValueError, match='Version mismatch'):
+            read(f['payload'])
+        out = read(f['payload'], strict=False)  # logs a warning instead
+    assert np.array_equal(out['b'], np.arange(4))
+
+    # Pre-versioning payloads (no attr anywhere) read silently.
+    with h5py.File(path, 'a') as f:
+        def scrub(node):
+            node.attrs.pop('version', None)
+            if isinstance(node, h5py.Group):
+                for k in node:
+                    scrub(node[k])
+        scrub(f['payload'])
+    with h5py.File(path, 'r') as f:
+        out = read(f['payload'])
+    assert out['a'] == [1, 2.5, 'three']
