@@ -51,6 +51,56 @@ def effective_exponent_error(L1, chi1, e1, L2, chi2, e2):
     return float(rel / abs(np.log(L2 / L1)))
 
 
+def crossing_estimate_error(kappas, scaled_by_L, errors_by_L, *, draws=1000,
+                            seed=0, pair=None):
+    """κ_c with a propagated 1σ error from the pairwise scaling crossing.
+
+    Gaussian-resamples every scaled-susceptibility point within its quoted
+    error, recomputes :func:`crossing_estimate` per draw, and reports the
+    sample mean/std over the draws that *do* cross inside the window.
+
+    Parameters
+    ----------
+    kappas : sequence of couplings (common grid for every volume).
+    scaled_by_L : {L: array over kappas} of χ/L^(D−2Δ) central values.
+    errors_by_L : {L: array over kappas} of their 1σ errors.
+    draws : resampling draws.
+    seed : numpy Generator seed (fixed default: analyses are reproducible).
+    pair : optional (L_small, L_large) selecting which two volumes cross;
+        default the two largest (the pair with the least finite-size drift).
+
+    Returns
+    -------
+    (kappa_c, error, crossed_fraction) — ``kappa_c`` is None when fewer than
+    half the draws cross inside the scanned window (the estimate would then
+    say more about the window than the data).
+
+    >>> kappas = [0.07, 0.08, 0.09]
+    >>> scaled = {128: np.array([1.2, 0.9, 0.6]), 256: np.array([1.5, 0.9, 0.4])}
+    >>> errs = {128: np.full(3, 0.02), 256: np.full(3, 0.02)}
+    >>> k, e, frac = crossing_estimate_error(kappas, scaled, errs)
+    >>> 0.078 < k < 0.082 and e < 0.002 and frac == 1.0
+    True
+    """
+    Ls = sorted(scaled_by_L)
+    if pair is None:
+        pair = (Ls[-2], Ls[-1])
+    rng = np.random.default_rng(seed)
+    sub = {L: np.asarray(scaled_by_L[L], dtype=float) for L in pair}
+    esub = {L: np.asarray(errors_by_L[L], dtype=float) for L in pair}
+    samples = []
+    for _ in range(draws):
+        jittered = {L: sub[L] + esub[L] * rng.standard_normal(len(kappas))
+                    for L in pair}
+        k = crossing_estimate(kappas, jittered)
+        if k is not None:
+            samples.append(k)
+    frac = len(samples) / draws
+    if frac < 0.5:
+        return None, None, frac
+    return float(np.mean(samples)), float(np.std(samples)), frac
+
+
 def crossing_estimate(kappas, scaled_by_L):
     """Crude critical-coupling estimate: the κ where the scaled susceptibility
     of the two largest volumes crosses (linear interpolation of their

@@ -178,3 +178,34 @@ def test_finite_size_scaling_helpers():
     k = crossing_estimate(kappas, scaled)
     assert 2.0 < k < 3.0
     assert crossing_estimate(kappas, {128: np.ones(4), 256: 2 * np.ones(4)}) is None
+
+
+def test_crossing_estimate_error():
+    from supervillain_tpu.analysis.scaling import (
+        crossing_estimate, crossing_estimate_error)
+    kappas = [1.0, 2.0, 3.0, 4.0]
+    scaled = {128: np.array([1.0, 1.1, 1.2, 1.3]),
+              256: np.array([0.8, 1.0, 1.25, 1.5])}
+    errs = {128: np.full(4, 0.01), 256: np.full(4, 0.01)}
+    k0 = crossing_estimate(kappas, scaled)
+    k, e, frac = crossing_estimate_error(kappas, scaled, errs, draws=400)
+    assert frac == 1.0
+    assert abs(k - k0) < 3 * e          # unbiased within its own error
+    assert 0 < e < 0.2                  # tight errors -> tight kappa_c
+    # Larger input errors widen the kappa_c error.
+    k2, e2, _ = crossing_estimate_error(
+        kappas, scaled, {L: 5 * v for L, v in errs.items()}, draws=400)
+    assert e2 > e
+    # Reproducible under the fixed seed.
+    k3, e3, _ = crossing_estimate_error(kappas, scaled, errs, draws=400)
+    assert k3 == k and e3 == e
+    # Non-crossing curves: fewer than half the draws cross -> declined.
+    k4, e4, frac4 = crossing_estimate_error(
+        kappas, {128: np.ones(4), 256: 2 * np.ones(4)}, errs, draws=100)
+    assert k4 is None and e4 is None and frac4 < 0.5
+    # Explicit pair selection uses the requested volumes.
+    three = {64: np.array([2.0, 1.6, 1.2, 0.8]), **scaled}
+    errs3 = {64: np.full(4, 0.01), **errs}
+    kp, ep, fp = crossing_estimate_error(kappas, three, errs3,
+                                         pair=(128, 256), draws=200)
+    assert fp == 1.0 and abs(kp - k0) < 3 * ep
