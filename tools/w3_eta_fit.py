@@ -91,6 +91,81 @@ def eta_fit(hist, r_min=2.0, etas=None, draws=200, seed=7):
     return float(center), float(np.std(samples))
 
 
+def orbit_profile(hist):
+    """Pool (B, N, N) tallies over the dihedral orbits of the torus.
+
+    The chord model [c(dx)² + c(dy)²]^{-η/2} is exactly invariant under
+    dx → N−dx, dy → N−dy, and dx ↔ dy, so cells of one orbit share a model
+    value AND a flat-torus distance — pooling them is a lossless compression
+    for the fit (a ~N²/8 profile instead of the N² map; the committable
+    artifact for large volumes).
+
+    Returns (r2, mult, rr, prof): per-orbit chord distance², multiplicity,
+    flat-torus distance, and (B, K) pooled tallies, the origin orbit dropped.
+    """
+    B, N, _ = hist.shape
+    d = np.arange(N)
+    dm = np.minimum(d, N - d)
+    a, b = np.meshgrid(dm, dm, indexing='ij')
+    lo, hi = np.minimum(a, b), np.maximum(a, b)
+    label = (lo * N + hi).ravel()
+    uniq, inverse, mult = np.unique(label, return_inverse=True,
+                                    return_counts=True)
+    c = (N / np.pi) * np.sin(np.pi * d / N)
+    r2cell = (c[:, None] ** 2 + c[None, :] ** 2).ravel()
+    rrcell = np.sqrt(a ** 2 + b ** 2).ravel()
+    K = len(uniq)
+    # Orbit-constant quantities: any representative cell serves.
+    first = np.zeros(K, dtype=int)
+    first[inverse[::-1]] = np.arange(N * N - 1, -1, -1)
+    r2, rr = r2cell[first], rrcell[first]
+    prof = np.stack([np.bincount(inverse, weights=h.ravel(), minlength=K)
+                     for h in hist.reshape(B, -1)])
+    keep = uniq != 0                     # drop the origin orbit
+    return r2[keep], mult[keep], rr[keep], prof[:, keep]
+
+
+def eta_fit_profile(r2, mult, rr, prof, r_min=2.0, etas=None, draws=200,
+                    seed=7):
+    """Chord-model fit from an orbit-pooled profile (see orbit_profile).
+
+    Statistically matched to :func:`eta_fit`: per-orbit mean tallies ḡ = G/m
+    carry the cell-level relative weight 1/max(ḡ,1)² times the multiplicity m,
+    which is exactly the cell-level χ² when cells of an orbit hold equal
+    tallies (they do in expectation — the model is orbit-constant).
+    """
+    if etas is None:
+        etas = np.arange(0.05, 1.51, 0.01)
+    etas = np.asarray(etas)
+    sel = np.asarray(rr) >= r_min
+    r2s, ms = np.asarray(r2, float)[sel], np.asarray(mult, float)[sel]
+    models = np.exp(np.outer(-etas / 2, np.log(r2s)))
+    B = prof.shape[0]
+
+    def fit(G):
+        g = G[sel] / ms
+        w = ms / np.maximum(g, 1.0) ** 2
+        wgM = models @ (w * g)
+        wMM = np.einsum('ij,ij->i', models, models * w)
+        A = wgM / wMM
+        chi2 = (w * g * g).sum() - A * wgM
+        i = int(np.argmin(chi2))
+        if 0 < i < len(etas) - 1:
+            y0, y1, y2 = chi2[i - 1], chi2[i], chi2[i + 1]
+            denom = (y0 - 2 * y1 + y2)
+            off = 0.5 * (y0 - y2) / denom if denom > 0 else 0.0
+            return etas[i] + off * (etas[1] - etas[0])
+        return etas[i]
+
+    rng = np.random.default_rng(seed)
+    center = fit(prof.sum(axis=0))
+    samples = []
+    for _ in range(draws):
+        pick = rng.integers(0, B, B)
+        samples.append(fit(prof[pick].sum(axis=0)))
+    return float(center), float(np.std(samples))
+
+
 def main():
     import h5py
     path = sys.argv[1]
@@ -98,13 +173,21 @@ def main():
     with h5py.File(path) as f:
         for key in f:
             g = f[key]
-            if 'Vortex_Vortex_hist' not in g:
+            if 'Vortex_Vortex_hist' in g:
+                hist = np.asarray(g['Vortex_Vortex_hist'])
+                eta, err = eta_fit(hist, r_min=r_min)
+                tag = f'chord-model fit, r >= {r_min}, {hist.shape[0]} chains'
+            elif 'profile' in g:
+                eta, err = eta_fit_profile(
+                    np.asarray(g['r2']), np.asarray(g['mult']),
+                    np.asarray(g['rr']), np.asarray(g['profile']),
+                    r_min=r_min)
+                tag = (f'chord-model orbit-profile fit, r >= {r_min}, '
+                       f'{g["profile"].shape[0]} chains')
+            else:
                 print(f'{key}: no histogram saved')
                 continue
-            hist = np.asarray(g['Vortex_Vortex_hist'])
-            eta, err = eta_fit(hist, r_min=r_min)
-            print(f'{path} {key}: eta_V = {eta:.4f} +- {err:.4f} '
-                  f'(chord-model fit, r >= {r_min}, {hist.shape[0]} chains)')
+            print(f'{path} {key}: eta_V = {eta:.4f} +- {err:.4f} ({tag})')
 
 
 if __name__ == '__main__':
