@@ -101,3 +101,14 @@ def test_winf_line_cpu_exits_cleanly(monkeypatch):
 
 def test_pod_fleet_cpu_exits_cleanly(monkeypatch):
     run_example('pod-fleet.py', ['--chains', '4'], monkeypatch)
+
+
+def test_w3_analysis(monkeypatch, capsys):
+    """The W=3 dual-channel analysis reproduces its quoted crossings from the
+    committed artifacts (runs wherever results/ is present)."""
+    if not (EXAMPLES.parent / 'results' / 'bkt-scan-W3-L64.h5').exists():
+        pytest.skip('scan artifacts not present')
+    run_example('plot/w3-analysis.py', [], monkeypatch)
+    out = capsys.readouterr().out
+    assert 'crossing(64,128)' in out and 'crossing(128,256)' in out
+    assert 'Delta_vortex' in out
