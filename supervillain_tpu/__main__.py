@@ -17,4 +17,10 @@ JAX/XLA/Pallas compute; chains vmapped and sharded over TPU meshes.
 '''
 
 if __name__ == '__main__':
+    # Route argv through the metadata parser so `python -m supervillain_tpu
+    # --version/--copyright/--license` print-and-exit exactly like the
+    # reference's module entry point (reference supervillain/__main__.py:1-13
+    # + cli/metadata.py:12-50).
+    from . import cli
+    cli.ArgumentParser(description=__doc__).parse_args()
     print(BANNER)

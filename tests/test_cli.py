@@ -119,3 +119,25 @@ def test_argument_parser_configures_named_format():
     assert root.level == logging.INFO
     assert any('%(levelname)s: %(message)s' == getattr(h.formatter, '_fmt', None)
                for h in root.handlers)
+
+
+def test_module_entry_point_metadata_flags():
+    """`python -m supervillain_tpu --license` (and friends) print-and-exit
+    through the metadata parser, exactly like the reference's module entry
+    point (reference supervillain/__main__.py:1-13); bare invocation still
+    prints the banner."""
+    import pathlib
+    import subprocess
+    import sys
+    root = pathlib.Path(__file__).resolve().parents[1]
+    out = subprocess.run([sys.executable, '-m', 'supervillain_tpu', '--license'],
+                         cwd=root, capture_output=True, text=True, timeout=300)
+    assert out.returncode == 0
+    assert 'MIT License' in out.stdout and 'Permission' in out.stdout
+    assert 'lattice Monte Carlo' not in out.stdout      # exited before banner
+    out = subprocess.run([sys.executable, '-m', 'supervillain_tpu', '--version'],
+                         cwd=root, capture_output=True, text=True, timeout=300)
+    assert out.stdout.strip().endswith(tuple('0123456789'))
+    out = subprocess.run([sys.executable, '-m', 'supervillain_tpu'],
+                         cwd=root, capture_output=True, text=True, timeout=300)
+    assert 'supervillain-tpu' in out.stdout              # the banner
