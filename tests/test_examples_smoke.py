@@ -112,3 +112,11 @@ def test_w3_analysis(monkeypatch, capsys):
     out = capsys.readouterr().out
     assert 'crossing(64,128)' in out and 'crossing(128,256)' in out
     assert 'Delta_vortex' in out
+
+
+def test_physics_figure(monkeypatch, tmp_path):
+    """The summary figure renders from the committed artifacts."""
+    if not (EXAMPLES.parent / 'results' / 'bkt-scan-W2-L64.h5').exists():
+        pytest.skip('scan artifacts not present')
+    run_example('plot/physics-figure.py', [], monkeypatch)
+    assert (EXAMPLES.parent / 'results' / 'physics-summary.png').stat().st_size > 10000
