@@ -270,12 +270,16 @@ def main():
             line += f'  sect={nontrivial_sectors:.2f}'
         print(line, flush=True)
 
-    if args.h5:
-        import h5py
-        with h5py.File(args.h5, 'w') as f:
-            for kappa, res in results.items():
-                g = f.create_group(f'kappa_{kappa}')
-                for k, v in res.items():
+        if args.h5:
+            # Write incrementally (one group per finished κ): a fleet scan is
+            # hours of chip time, and a crash at κ_i must not lose κ_{<i}.
+            import h5py
+            with h5py.File(args.h5, 'a') as f:
+                name = f'kappa_{kappa}'
+                if name in f:
+                    del f[name]
+                g = f.create_group(name)
+                for k, v in results[kappa].items():
                     g[k] = np.asarray(v)
     return results
 
