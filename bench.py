@@ -347,13 +347,25 @@ def main():
         chip_curve = {}
         if not fast:
             prev = None
-            for Bx in (16, 32, 64, 128, 256, 512, 1024, 2048, 4096):
+            for Bx in (16, 32, 64, 128, 256, 512, 1024, 2048, 4096, 8192):
                 rx, _, _ = median_of(3, 128, Bx, sweeps=50, reps=3,
                                      kappa=kappa, cpp=4)
                 chip_curve[f'chains={Bx}'] = rx
                 if prev is not None and rx < prev * 1.05 and Bx >= 1024:
                     break
                 prev = rx
+
+        # D>2 production path (Pallas is D=2-only by design; the XLA stencil
+        # path serves D>=3): compile-excluded steady state at the measured
+        # saturating chain count (DIMENSION_r05.json knee), as a first-class
+        # bench row (VERDICT r4 #6).
+        d4_rate = None
+        if not fast:
+            # One call (each call re-traces the jitted fleet): reps=6 chained
+            # launches inside the timed region already average the transients.
+            from supervillain_tpu.benchmark.dimension import steady_state_rate
+            d4_rate, _ = steady_state_rate(D=4, N=8, chains=512, thin=16,
+                                           reps=6, kappa=0.4)
 
         base_steps = 5
         base_elapsed = numpy_baseline_sweep(N, kappa, 1, base_steps, np.random.default_rng(0))
@@ -420,6 +432,15 @@ def main():
             },
         }
         full['detail']['villain_hammer_sweep_su_per_s'] = vh_table
+        if d4_rate is not None:
+            full['detail']['d4_xla_steady_state'] = {
+                'su_per_s': d4_rate,
+                'config': 'D=4 N=8 chains=512 thin=16 (median of 3; '
+                          'compile-excluded, donated buffers)',
+                'note': 'HBM-bound at ~60% of the 348 B/su fusion-writes '
+                        'roof — see VALIDATION.md D=4 analysis and '
+                        'DIMENSION_r05.json for the chain-count curve',
+            }
         full['detail']['worldline']['hammer_sweep_su_per_s_by_L'] = wlh_table
 
         # The driver captures a bounded stdout tail, so the LAST line must be
@@ -444,6 +465,8 @@ def main():
             'worldline_hammer_updates_per_s': round(wl_hammer_rate / 1e6, 1),
             'chip_curve_L128': {k: round(v / 1e9, 2)
                                 for k, v in chip_curve.items()},
+            'd4_8p4_steady_state_Msu_per_s': (
+                round(d4_rate / 1e6, 1) if d4_rate is not None else None),
             'weak_scaling_eff_virtual_cpu': eff,
             'vpu_fraction_no_fma': round(
                 rate * OPS_PER_SITE_UPDATE / V5E_VPU_PEAK, 3),
