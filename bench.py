@@ -447,8 +447,11 @@ def main():
         # one compact machine-parseable JSON record (VERDICT r4 #7); the full
         # nested blob goes to a committed artifact file instead.
         here = os.path.dirname(os.path.abspath(__file__))
+        # A BENCH_FAST run skips most tables; route its sparse detail blob to
+        # an untracked path so it cannot clobber the committed full artifact.
+        default_detail = 'BENCH_DETAIL.json.tmp' if fast else 'BENCH_DETAIL.json'
         detail_path = os.environ.get('BENCH_DETAIL_PATH',
-                                     os.path.join(here, 'BENCH_DETAIL.json'))
+                                     os.path.join(here, default_detail))
         with open(detail_path, 'w') as f:
             json.dump(full, f, indent=1)
         scaling = full['detail']['scaling'] or {}
